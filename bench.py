@@ -1,0 +1,124 @@
+"""Headline benchmark: full synthetic prove at the reference workload shape.
+
+Runs setup (cached), then measures end-to-end prove wall-clock — witness
+polynomial construction, all five rounds, commitments and binding MSMs —
+at the reference's shape (n=4096, s_max=256, m_i=4096, m_D≈20k, 256
+placements) with a constraint-satisfying synthetic fixture
+(tokamak_zk_evm_tpu/testing/synthetic.py).  Baseline: the reference Rust
+backend's published full-prove wall-clock of 45.698 s on CPU
+(BASELINE.md row 1; the CUDA number is 21.082 s).
+
+Prints ONE JSON line on stdout; diagnostics go to stderr.
+
+Environment knobs:
+  TOKAMAK_BENCH_SCALE=small|full   (default full; small = n=256,s_max=32 smoke)
+  TOKAMAK_BENCH_VERIFY=1           also verify the proof (not timed)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+BASELINE_CPU_S = 45.698
+
+
+def main():
+    t_start = time.time()
+    scale = os.environ.get("TOKAMAK_BENCH_SCALE", "full")
+    _cache = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".cache", "jax")
+    os.makedirs(_cache, exist_ok=True)
+    os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", _cache)
+    os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
+    import numpy as np
+
+    from tokamak_zk_evm_tpu.testing.synthetic import build_synthetic
+    from tokamak_zk_evm_tpu.models.setup import Tau, generate_sigma
+    from tokamak_zk_evm_tpu.models.prover import Prover
+    from tokamak_zk_evm_tpu.models.protocol import Mixer
+    from tokamak_zk_evm_tpu.utils import timing
+
+    if scale == "full":
+        shape = dict(n=4096, s_max=256, m_i=4096, n_synth_kinds=6, priv_per_synth=2700)
+    elif scale == "mid":
+        shape = dict(n=1024, s_max=64, m_i=1024, n_synth_kinds=4, priv_per_synth=700)
+    else:
+        shape = dict(n=256, s_max=32, m_i=256, n_synth_kinds=2, priv_per_synth=120)
+
+    log(f"[bench] building synthetic fixture {shape} ...")
+    t0 = time.time()
+    fx = build_synthetic(**shape, seed=1)
+    log(f"[bench] fixture built in {time.time()-t0:.1f}s; "
+        f"placements={len(fx.placements)} perm={len(fx.permutation)} params={fx.params}")
+
+    # ---- setup (cached on disk, excluded from the prove measurement) ----
+    from tokamak_zk_evm_tpu.io import crs as crs_io
+
+    cache_dir = os.path.join(os.path.dirname(__file__), ".cache",
+                             f"crs_{scale}_{shape['n']}_{shape['s_max']}")
+    if os.path.exists(os.path.join(cache_dir, "sigma_meta.json")):
+        log(f"[bench] loading cached CRS from {cache_dir}")
+        t0 = time.time()
+        sigma = crs_io.load_sigma(cache_dir)
+        log(f"[bench] CRS loaded in {time.time()-t0:.1f}s")
+    else:
+        log("[bench] generating CRS (fixed tau) ...")
+        t0 = time.time()
+        sigma = generate_sigma(fx.params, Tau.fixed(), fx.library, fx.infos)
+        log(f"[bench] CRS generated in {time.time()-t0:.1f}s")
+        try:
+            crs_io.save_sigma(sigma, cache_dir)
+            log(f"[bench] CRS cached to {cache_dir}")
+        except Exception as e:  # cache is best-effort
+            log(f"[bench] CRS cache failed: {e}")
+
+    # ---- warm-up prove (compilation; the reference numbers exclude JIT) ----
+    warm = os.environ.get("TOKAMAK_BENCH_WARMUP", "1") == "1"
+    if warm:
+        log("[bench] warm-up prove (compilation) ...")
+        t0 = time.time()
+        prover = Prover(fx.params, sigma, fx.library, fx.infos, fx.placements,
+                        fx.permutation, fx.instance, mixer=Mixer.zero())
+        proof, proof4t = prover.prove()
+        log(f"[bench] warm-up done in {time.time()-t0:.1f}s")
+
+    # ---- timed prove ----
+    log("[bench] timed prove ...")
+    timing.reset()
+    t0 = time.time()
+    prover = Prover(fx.params, sigma, fx.library, fx.infos, fx.placements,
+                    fx.permutation, fx.instance, mixer=Mixer.zero())
+    proof, proof4t = prover.prove()
+    prove_s = time.time() - t0
+    log(f"[bench] prove took {prove_s:.3f}s (total script {time.time()-t_start:.0f}s)")
+    log(f"[bench] spans: {json.dumps(timing.summarize()['by_category'])}")
+
+    if os.environ.get("TOKAMAK_BENCH_VERIFY", "0") == "1":
+        from tokamak_zk_evm_tpu.models.preprocess import preprocess
+        from tokamak_zk_evm_tpu.models.verifier import Verifier
+
+        pre = preprocess(sigma, fx.permutation, fx.instance, fx.params)
+        ok = Verifier(fx.params, sigma, pre, fx.instance, proof,
+                      rng=np.random.default_rng(7)).verify_snark()
+        log(f"[bench] verify_snark: {ok}")
+        if not ok:
+            raise SystemExit("proof did not verify")
+
+    result = {
+        "metric": f"prove_wall_clock_{scale}_shape_n{shape['n']}_smax{shape['s_max']}",
+        "value": round(prove_s, 3),
+        "unit": "s",
+        "vs_baseline": round(BASELINE_CPU_S / prove_s, 3) if scale == "full" else 0.0,
+    }
+    print(json.dumps(result), flush=True)
+
+
+if __name__ == "__main__":
+    main()

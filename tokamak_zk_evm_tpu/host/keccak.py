@@ -1,11 +1,42 @@
 """Keccak-256 (original padding 0x01, as used by Ethereum/Solidity).
 
-Pure-Python Keccak-f[1600]; transcript hashing is a few hundred permutations
-per proof, far off the hot path (SURVEY.md §7.3: "Keccak on TPU — don't;
-host-side").  A C++ ctypes version can swap in behind `keccak256` later.
+Native C++ core (native/keccak256.cpp, built on demand via g++ and loaded
+with ctypes) with a pure-Python Keccak-f[1600] fallback — transcript hashing
+is host-side by design (SURVEY.md §7.3: "Keccak on TPU — don't").
 """
 
 from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import tempfile
+
+_NATIVE = None
+
+
+def _load_native():
+    global _NATIVE
+    if _NATIVE is not None:
+        return _NATIVE
+    try:
+        root = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+        src = os.path.join(root, "native", "keccak256.cpp")
+        so = os.path.join(root, "native", "libkeccak256.so")
+        if not os.path.exists(so) or os.path.getmtime(so) < os.path.getmtime(src):
+            subprocess.run(
+                ["g++", "-O2", "-shared", "-fPIC", "-o", so, src],
+                check=True, capture_output=True,
+            )
+        lib = ctypes.CDLL(so)
+        lib.keccak256.argtypes = [
+            ctypes.c_char_p, ctypes.c_uint64, ctypes.c_char_p
+        ]
+        lib.keccak256.restype = None
+        _NATIVE = lib
+    except Exception:
+        _NATIVE = False
+    return _NATIVE
 
 _ROT = [
     [0, 36, 3, 41, 18],
@@ -55,6 +86,15 @@ def _keccak_f(state):
 
 
 def keccak256(data: bytes) -> bytes:
+    lib = _load_native()
+    if lib:
+        out = ctypes.create_string_buffer(32)
+        lib.keccak256(data, len(data), out)
+        return out.raw
+    return _keccak256_py(data)
+
+
+def _keccak256_py(data: bytes) -> bytes:
     rate = 136  # 1088-bit rate for Keccak-256
     state = [[0] * 5 for _ in range(5)]
     # pad: 0x01 ... 0x80 (original Keccak, NOT SHA3's 0x06)

@@ -1,0 +1,116 @@
+"""CRS (Sigma) persistence.
+
+Native format: one .npz holding the packed device point families + a JSON
+sidecar for the host points and shape metadata.  Functionally replaces the
+reference's rkyv archives (`combined_sigma.rkyv` / `sigma_preprocess.rkyv` /
+`sigma_verify.json`, `iotools/mod.rs:1703-1845`); an rkyv importer for the
+published 1 GB reference CRS belongs in a follow-up (`io/rkyv_import.py`).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..models.setup import Sigma, Sigma1, Sigma2
+
+
+def _pt_to_json(p):
+    if p is None:
+        return None
+    return [hex(p[0]), hex(p[1])]
+
+
+def _pt_from_json(v):
+    if v is None:
+        return None
+    return (int(v[0], 16), int(v[1], 16))
+
+
+def _g2_to_json(p):
+    if p is None:
+        return None
+    return [[hex(c) for c in p[0]], [hex(c) for c in p[1]]]
+
+
+def _g2_from_json(v):
+    if v is None:
+        return None
+    return (tuple(int(c, 16) for c in v[0]), tuple(int(c, 16) for c in v[1]))
+
+
+def save_sigma(sigma: Sigma, path: str):
+    os.makedirs(path, exist_ok=True)
+    fam = {}
+    for name in (
+        "xy_powers", "gamma_inv_o_inst", "eta_inv_li_o_inter_alpha4_kj",
+        "delta_inv_li_o_prv",
+    ):
+        px, py, pinf = getattr(sigma.sigma_1, name)
+        fam[f"{name}_x"] = np.asarray(px)
+        fam[f"{name}_y"] = np.asarray(py)
+        fam[f"{name}_inf"] = np.asarray(pinf)
+    np.savez_compressed(os.path.join(path, "sigma_families.npz"), **fam)
+
+    s1 = sigma.sigma_1
+    meta = {
+        "h_max": s1.h_max,
+        "rs_y": s1.rs_y,
+        "G": _pt_to_json(sigma.G),
+        "H": _g2_to_json(sigma.H),
+        "lagrange_KL": _pt_to_json(sigma.lagrange_KL),
+        "sigma1_points": {
+            "x": _pt_to_json(s1.x), "y": _pt_to_json(s1.y),
+            "delta": _pt_to_json(s1.delta), "eta": _pt_to_json(s1.eta),
+            "delta_inv_alphak_xh_tx": [[_pt_to_json(p) for p in row] for row in s1.delta_inv_alphak_xh_tx],
+            "delta_inv_alpha4_xj_tx": [_pt_to_json(p) for p in s1.delta_inv_alpha4_xj_tx],
+            "delta_inv_alphak_yi_ty": [[_pt_to_json(p) for p in row] for row in s1.delta_inv_alphak_yi_ty],
+        },
+        "sigma2": {
+            k: _g2_to_json(getattr(sigma.sigma_2, k))
+            for k in ("alpha", "alpha2", "alpha3", "alpha4", "gamma", "delta", "eta", "x", "y")
+        },
+    }
+    with open(os.path.join(path, "sigma_meta.json"), "w") as f:
+        json.dump(meta, f)
+
+
+def load_sigma(path: str) -> Sigma:
+    data = np.load(os.path.join(path, "sigma_families.npz"))
+    with open(os.path.join(path, "sigma_meta.json")) as f:
+        meta = json.load(f)
+
+    def fam(name):
+        return (
+            jnp.asarray(data[f"{name}_x"]),
+            jnp.asarray(data[f"{name}_y"]),
+            jnp.asarray(data[f"{name}_inf"]),
+        )
+
+    sp = meta["sigma1_points"]
+    sigma1 = Sigma1(
+        xy_powers=fam("xy_powers"),
+        h_max=meta["h_max"],
+        rs_y=meta["rs_y"],
+        gamma_inv_o_inst=fam("gamma_inv_o_inst"),
+        eta_inv_li_o_inter_alpha4_kj=fam("eta_inv_li_o_inter_alpha4_kj"),
+        delta_inv_li_o_prv=fam("delta_inv_li_o_prv"),
+        x=_pt_from_json(sp["x"]),
+        y=_pt_from_json(sp["y"]),
+        delta=_pt_from_json(sp["delta"]),
+        eta=_pt_from_json(sp["eta"]),
+        delta_inv_alphak_xh_tx=[[_pt_from_json(p) for p in row] for row in sp["delta_inv_alphak_xh_tx"]],
+        delta_inv_alpha4_xj_tx=[_pt_from_json(p) for p in sp["delta_inv_alpha4_xj_tx"]],
+        delta_inv_alphak_yi_ty=[[_pt_from_json(p) for p in row] for row in sp["delta_inv_alphak_yi_ty"]],
+    )
+    sigma2 = Sigma2(**{k: _g2_from_json(v) for k, v in meta["sigma2"].items()})
+    return Sigma(
+        G=_pt_from_json(meta["G"]),
+        H=_g2_from_json(meta["H"]),
+        sigma_1=sigma1,
+        sigma_2=sigma2,
+        lagrange_KL=_pt_from_json(meta["lagrange_KL"]),
+    )

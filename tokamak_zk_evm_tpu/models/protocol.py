@@ -50,13 +50,16 @@ class SubcircuitInfo:
 
 @dataclass
 class SubcircuitR1CS:
-    """Compact column form: per active wire, the length-n column of constraint
-    coefficients (interpreted as evaluations over the n-point rou domain),
-    matching `SubcircuitR1CS` (`libs/src/iotools/mod.rs:492-1015`)."""
+    """Compact sparse column form: per active wire, the (constraint_index,
+    coefficient) pairs of that wire's column — the sparse view of the
+    reference's `SubcircuitR1CS` compact column matrices
+    (`libs/src/iotools/mod.rs:492-1015`; columns there are dense length-n
+    eval vectors, but real circuits are sparse and full-shape witness
+    assembly requires sparsity)."""
 
-    A_cols: dict[int, list[int]]  # wire -> [n] coefficients
-    B_cols: dict[int, list[int]]
-    C_cols: dict[int, list[int]]
+    A_cols: dict[int, list[tuple[int, int]]]  # wire -> [(k, coeff)]
+    B_cols: dict[int, list[tuple[int, int]]]
+    C_cols: dict[int, list[tuple[int, int]]]
 
 
 @dataclass

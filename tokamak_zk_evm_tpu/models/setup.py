@@ -115,9 +115,8 @@ def evaled_qap_mixture(
     for coeff_map, mult in ((r1cs.A_cols, tau.alpha), (r1cs.B_cols, a2), (r1cs.C_cols, a3)):
         for wire, col in coeff_map.items():
             acc = 0
-            for k, c in enumerate(col):
-                if c:
-                    acc += c * x_lagrange[k]
+            for k, c in col:
+                acc += c * x_lagrange[k]
             out[wire] = (out[wire] + mult * acc) % R_MOD
     return out
 
@@ -150,6 +149,20 @@ def _pack(points):
     from ..ops import curve as cv
 
     return cv.pack_affine(points)
+
+
+_DEVICE_THRESHOLD = 4096
+
+
+def _family(scalars, g1_gen):
+    """Fixed-base point family: host exact path for small counts, TPU
+    windowed fixed-base for large CRS families (SURVEY.md §7.2 step 4)."""
+    if len(scalars) <= _DEVICE_THRESHOLD:
+        return _pack(_g1_points_from_scalars(scalars, g1_gen))
+    from ..ops.fixed_base import fixed_base_msm_points, jac_to_affine_batch
+
+    jac = fixed_base_msm_points(scalars, gen=g1_gen)
+    return jac_to_affine_batch(jac)
 
 
 def generate_sigma(
@@ -186,7 +199,7 @@ def generate_sigma(
             xy_scalars.append((xh * yi) % R_MOD)
             yi = (yi * tau.y) % R_MOD
         xh = (xh * tau.x) % R_MOD
-    xy_powers = _pack(_g1_points_from_scalars(xy_scalars, g1_gen))
+    xy_powers = _family(xy_scalars, g1_gen)
 
     # gamma_inv_o_inst (`group_structures/mod.rs:408-447`)
     user_vec = (
@@ -203,7 +216,7 @@ def generate_sigma(
         if j < l_free:
             v = (v + m_vec[j]) % R_MOD
         gi_scalars.append((v * gamma_inv) % R_MOD)
-    gamma_inv_o_inst = _pack(_g1_points_from_scalars(gi_scalars, g1_gen))
+    gamma_inv_o_inst = _family(gi_scalars, g1_gen)
 
     # eta^{-1} L_i(y) (o_{l+j} + alpha^4 K_j(x)), idx = j*s_max + i
     eta_inv = pow(tau.eta, -1, R_MOD)
@@ -213,7 +226,7 @@ def generate_sigma(
         base = (o_vec[l + j] + a4 * k_vec[j]) % R_MOD
         for i in range(s_max):
             inter_scalars.append((eta_inv * l_vec[i] * base) % R_MOD)
-    eta_inv_li_o_inter = _pack(_g1_points_from_scalars(inter_scalars, g1_gen))
+    eta_inv_li_o_inter = _family(inter_scalars, g1_gen)
 
     # delta^{-1} L_i(y) o_j(x) for private wires, idx = j*s_max + i
     delta_inv = pow(tau.delta, -1, R_MOD)
@@ -222,7 +235,7 @@ def generate_sigma(
         base = o_vec[params.l_D + j]
         for i in range(s_max):
             prv_scalars.append((delta_inv * l_vec[i] * base) % R_MOD)
-    delta_inv_li_o_prv = _pack(_g1_points_from_scalars(prv_scalars, g1_gen))
+    delta_inv_li_o_prv = _family(prv_scalars, g1_gen)
 
     # zk vanishing families (host points)
     t_x = (pow(tau.x, n, R_MOD) - 1) % R_MOD

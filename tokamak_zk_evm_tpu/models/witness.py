@@ -53,9 +53,8 @@ def _gen_qap_xy(
             v = pl.variables[wire] % R_MOD
             if v == 0:
                 continue
-            for k, coeff in enumerate(col):
-                if coeff:
-                    grid[k, i] = (grid[k, i] + v * coeff) % R_MOD
+            for k, coeff in col:
+                grid[k, i] = (grid[k, i] + v * coeff) % R_MOD
     return BiPoly.from_rou_evals(np.asarray(_fr.pack(grid.tolist())))
 
 

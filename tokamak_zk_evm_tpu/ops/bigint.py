@@ -56,32 +56,41 @@ class LimbField:
     # ------------------------------------------------------------------
 
     def pack(self, ints, mont: bool = True) -> np.ndarray:
-        """Python ints (nested lists / flat) -> uint32 limb array [..., L]."""
+        """Python ints (nested lists / flat) -> uint32 limb array [..., L].
+
+        Bulk path: serialize to little-endian bytes and reinterpret as 16-bit
+        limbs (vectorized), so packing million-element witness grids stays
+        seconds-class.
+        """
         arr = np.asarray(ints, dtype=object)
-        out = np.zeros(arr.shape + (self.L,), dtype=np.uint32)
         flat = arr.reshape(-1)
-        out_flat = out.reshape(-1, self.L)
-        for i, v in enumerate(flat):
-            x = int(v) % self.spec.modulus
-            if mont:
-                x = self.spec.to_mont(x)
-            for j in range(self.L):
-                out_flat[i, j] = (x >> (LIMB_BITS * j)) & LIMB_MASK
-        return out
+        nbytes = self.L * 2
+        mod = self.spec.modulus
+        if mont:
+            rmod = self.spec.R_mod
+            buf = b"".join(
+                ((int(v) % mod) * rmod % mod).to_bytes(nbytes, "little") for v in flat
+            )
+        else:
+            buf = b"".join((int(v) % mod).to_bytes(nbytes, "little") for v in flat)
+        out = np.frombuffer(buf, dtype="<u2").astype(np.uint32)
+        return out.reshape(arr.shape + (self.L,))
 
     def unpack(self, limbs, mont: bool = True) -> np.ndarray:
         """uint32 limb array [..., L] -> numpy object array of Python ints."""
         arr = np.asarray(limbs)
         shape = arr.shape[:-1]
-        flat = arr.reshape(-1, self.L)
-        out = np.empty(flat.shape[0], dtype=object)
-        for i in range(flat.shape[0]):
-            x = 0
-            for j in range(self.L):
-                x |= int(flat[i, j]) << (LIMB_BITS * j)
+        buf = arr.reshape(-1, self.L).astype("<u2").tobytes()
+        nbytes = self.L * 2
+        n = arr.size // self.L
+        out = np.empty(n, dtype=object)
+        rinv = self.spec.Rinv
+        mod = self.spec.modulus
+        for i in range(n):
+            x = int.from_bytes(buf[i * nbytes : (i + 1) * nbytes], "little")
             if mont:
-                x = self.spec.from_mont(x)
-            out[i] = x % self.spec.modulus
+                x = x * rinv % mod
+            out[i] = x % mod
         return out.reshape(shape) if shape else out[0]
 
     # ------------------------------------------------------------------
@@ -149,31 +158,36 @@ class LimbField:
         return self.sub(zero, a)
 
     def mont_mul(self, a, b):
-        """Montgomery product  a * b * R^{-1} mod p  (SOS with deferred carries)."""
+        """Montgomery product  a * b * R^{-1} mod p  (SOS with deferred carries).
+
+        Accumulators are kept as a single relaxed-column array [..., 2L+1]
+        updated with static limb-axis slices — O(L) traced ops instead of
+        O(L^2), which keeps composite kernels (EC adds, NTT stages, scans)
+        compilable.  Column values stay < 2^23 (see module docstring).
+        """
         L = self.L
-        batch_shape = jnp.broadcast_shapes(a.shape[:-1], b.shape[:-1])
-        zero_col = jnp.zeros(batch_shape, dtype=U32)
-        t = [zero_col] * (2 * L + 1)
+        a, b = jnp.broadcast_arrays(a, b)
+        batch_shape = a.shape[:-1]
+        t = jnp.zeros(batch_shape + (2 * L + 1,), dtype=U32)
+        mod = jnp.asarray(self.mod_limbs)
 
-        # product phase: t = a * b in relaxed columns
+        # product phase: t[i:i+L] += a_i * b (split hi/lo)
         for i in range(L):
-            ai = a[..., i]
-            for j in range(L):
-                p = ai * b[..., j]
-                t[i + j] = t[i + j] + (p & _MASK)
-                t[i + j + 1] = t[i + j + 1] + (p >> LIMB_BITS)
+            p = a[..., i : i + 1] * b
+            t = t.at[..., i : i + L].add(p & _MASK)
+            t = t.at[..., i + 1 : i + L + 1].add(p >> LIMB_BITS)
 
-        # reduction phase: 16 digit-steps of m = t[i]*n0' mod 2^16; t += m*p<<16i
+        # reduction phase: digit-serial m = t[i]*n0' mod 2^16; t += m*mod << 16i
         for i in range(L):
-            m = (t[i] * self.n0) & _MASK
-            for j in range(L):
-                p = m * jnp.uint32(self.mod_limbs[j])
-                t[i + j] = t[i + j] + (p & _MASK)
-                t[i + j + 1] = t[i + j + 1] + (p >> LIMB_BITS)
+            m = (t[..., i : i + 1] * self.n0) & _MASK
+            p = m * mod
+            t = t.at[..., i : i + L].add(p & _MASK)
+            t = t.at[..., i + 1 : i + L + 1].add(p >> LIMB_BITS)
             # retire column i (now ≡ 0 mod 2^16); push its carry up
-            t[i + 1] = t[i + 1] + (t[i] >> LIMB_BITS)
+            t = t.at[..., i + 1].add(t[..., i] >> LIMB_BITS)
 
-        limbs, carry = self._normalize(t[L : 2 * L + 1])
+        cols = [t[..., L + j] for j in range(L + 1)]
+        limbs, carry = self._normalize(cols)
         # value < 2p < 2^(16L+1); top column folds into extra bit
         extra = limbs[self.L] + (carry if carry is not None else 0)
         return self._cond_sub_mod(limbs[: self.L], extra_bit=extra)

@@ -3,16 +3,17 @@
 Replaces ICICLE `msm::msm` (the reference's `encode_poly` commitment engine,
 `libs/src/group_structures/mod.rs:59-119`).  TPU-native formulation:
 
-  * window size = 16 bits, so each window's digit IS one uint32 scalar limb —
-    no cross-limb bit surgery;
+  * adaptive window size: w ~ log2(N) - 3 (clamped to [2, 16]); at the
+    reference's headline 2^22-point MSM this gives the classic 16-bit
+    windows where each digit IS one uint32 scalar limb;
   * bucket accumulation avoids data-dependent scatter-adds (hostile to TPU):
     points are sorted by digit, then a *segmented inclusive scan* with the
     branchless jacobian-add combiner (`curve.jac_add`) produces per-bucket
     sums in O(N) work / O(log N) depth;
-  * the 2^16-entry bucket triangle sum uses suffix scans (sum_b b*B_b =
-    sum of suffix sums);
-  * the 16 window results are combined on host with exact Horner doubling
-    (255 single-point ops are latency-bound on device, free on host).
+  * the bucket triangle sum uses suffix scans (sum_b b*B_b = sum of suffix
+    sums);
+  * the window results are combined on host with exact Horner doubling
+    (single-point ops are latency-bound on device, free on host).
 
 Multi-chip: points are sharded across the mesh; per-chip bucket arrays are
 jacobian-summed with `psum`-style tree reduction (parallel/msm_dist.py).
@@ -33,8 +34,29 @@ from . import curve as cv
 _fr = fr_ops()
 _fq = fq_ops()
 
-WINDOW_BITS = 16
-NUM_WINDOWS = 16  # 256 bits / 16
+SCALAR_BITS = 256  # 16 limbs x 16 bits
+
+
+def pick_window_bits(n: int) -> int:
+    """Pippenger window size for an n-point MSM: ~log2(n) - 3, in [2, 16].
+
+    Bucket-phase cost ~ n per window; triangle-sum cost ~ 2^w per window;
+    total ~ (256/w) * (n + 2^w) — minimized near w = log2(n) - log2(log2(n)).
+    """
+    if n <= 0:
+        return 2
+    return max(2, min(16, n.bit_length() - 3))
+
+
+def _digits_for_window(scalars, w: int, wbits: int):
+    """Extract digit w (wbits wide) from [N, 16] uint32 16-bit-limb scalars."""
+    off = w * wbits
+    lo_limb, lo_shift = off // 16, off % 16
+    d = scalars[:, lo_limb] >> lo_shift
+    have = 16 - lo_shift
+    if have < wbits and lo_limb + 1 < scalars.shape[1]:
+        d = d | (scalars[:, lo_limb + 1] << have)
+    return (d & np.uint32((1 << wbits) - 1)).astype(jnp.int32)
 
 
 def _segmented_scan_combine(a, b):
@@ -54,7 +76,7 @@ def _segmented_scan_combine(a, b):
 
 
 @functools.lru_cache(maxsize=None)
-def _window_kernel():
+def _window_kernel(wbits: int):
     """jit: (digits [N], px, py, pinf) -> bucket sums as a single point."""
 
     def kernel(digits, px, py, pinf):
@@ -76,7 +98,7 @@ def _window_kernel():
         is_tail = d != nxt
         # scatter tails into the bucket table (indices unique; zero-digit and
         # non-tail entries go to a dump slot)
-        nbuckets = 1 << WINDOW_BITS
+        nbuckets = 1 << wbits
         idx = jnp.where(is_tail & ~zero_mask, d.astype(jnp.int32), nbuckets)
         bX = jnp.zeros((nbuckets + 1, cv.LQ), dtype=jnp.uint32).at[idx].set(Xs)
         bY = jnp.zeros((nbuckets + 1, cv.LQ), dtype=jnp.uint32).at[idx].set(Ys)
@@ -91,10 +113,6 @@ def bucket_triangle_sum(buckets):
     """sum_{b>=1} b * B_b via suffix scan: T_j = sum_{b>=j} B_b, result =
     sum_{j>=1} T_j."""
     bX, bY, bZ = buckets
-
-    def comb(a, b):
-        return cv.jac_add(a, b)
-
     TX, TY, TZ = jax.lax.associative_scan(
         lambda a, b: cv.jac_add(a, b), (bX, bY, bZ), axis=0, reverse=True
     )
@@ -102,7 +120,8 @@ def bucket_triangle_sum(buckets):
     return cv.jac_sum_tree((TX[1:], TY[1:], TZ[1:]))
 
 
-def msm(scalars_canonical, px, py, pinf, chunk: int | None = None):
+def msm(scalars_canonical, px, py, pinf, chunk: int | None = None,
+        window_bits: int | None = None):
     """MSM of canonical (non-Montgomery) Fr scalars against affine points.
 
     scalars_canonical: [N, 16] uint32 limb array (little-endian 16-bit limbs)
@@ -112,10 +131,14 @@ def msm(scalars_canonical, px, py, pinf, chunk: int | None = None):
     from ..host.curve import G1
 
     n = scalars_canonical.shape[0]
-    kernel = _window_kernel()
+    wbits = window_bits if window_bits is not None else pick_window_bits(
+        min(n, chunk) if chunk is not None else n
+    )
+    nwin = -(-SCALAR_BITS // wbits)
+    kernel = _window_kernel(wbits)
     window_results = []  # host jacobian points per window
-    for w in range(NUM_WINDOWS):
-        digits = scalars_canonical[:, w].astype(jnp.int32)
+    for w in range(nwin):
+        digits = _digits_for_window(scalars_canonical, w, wbits)
         if chunk is None or n <= chunk:
             pt = kernel(digits, px, py, pinf)
             window_results.append(_to_host_jac(pt))
@@ -127,10 +150,10 @@ def msm(scalars_canonical, px, py, pinf, chunk: int | None = None):
                 acc = G1.add(acc, _to_host_jac(pt))
             window_results.append(acc)
 
-    # Horner combine on host: R = sum_w 2^(16w) W_w
+    # Horner combine on host: R = sum_w 2^(wbits*w) W_w
     acc = G1.infinity
-    for w in reversed(range(NUM_WINDOWS)):
-        for _ in range(WINDOW_BITS):
+    for w in reversed(range(nwin)):
+        for _ in range(wbits):
             acc = G1.double(acc)
         acc = G1.add(acc, window_results[w])
     return G1.to_affine(acc)

@@ -1,0 +1,34 @@
+"""Device-mesh helpers for multi-chip scale-out.
+
+The reference is single-device (SURVEY.md §2.4); the scale-out dimension is
+TPU-native: a 1-D mesh over the NTT grid's X axis (rows) with the bivariate
+transform's transpose realized as an ICI all-to-all, and MSM points sharded
+with bucket tables combined by jacobian tree-reduction.
+"""
+
+from __future__ import annotations
+
+import jax
+import numpy as np
+
+AXIS = "chips"
+
+
+def make_mesh(n_devices: int | None = None) -> jax.sharding.Mesh:
+    devices = jax.devices()
+    if n_devices is not None:
+        devices = devices[:n_devices]
+    return jax.sharding.Mesh(np.asarray(devices), (AXIS,))
+
+
+def row_sharding(mesh):
+    """Shard axis 0 (X rows) of a [x, y, L] grid across the mesh."""
+    return jax.sharding.NamedSharding(
+        mesh, jax.sharding.PartitionSpec(AXIS, None, None)
+    )
+
+
+def col_sharding(mesh):
+    return jax.sharding.NamedSharding(
+        mesh, jax.sharding.PartitionSpec(None, AXIS, None)
+    )

@@ -42,10 +42,7 @@ class Fixture:
 
 
 def _col(n, entries):
-    c = [0] * n
-    for k, v in entries:
-        c[k] = v % R_MOD
-    return c
+    return [(k, v % R_MOD) for k, v in entries]
 
 
 def build_fixture() -> Fixture:
