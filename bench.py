@@ -13,6 +13,9 @@ Prints ONE JSON line on stdout; diagnostics go to stderr.
 Environment knobs:
   TOKAMAK_BENCH_SCALE=small|full   (default full; small = n=256,s_max=32 smoke)
   TOKAMAK_BENCH_VERIFY=1           also verify the proof (not timed)
+  TOKAMAK_BENCH_PLATFORM=cpu|tpu   force the jax platform (the axon TPU plugin
+                                   overrides JAX_PLATFORMS, so plain env vars
+                                   do not work; this uses jax.config directly)
 """
 
 from __future__ import annotations
@@ -37,6 +40,17 @@ def main():
     os.makedirs(_cache, exist_ok=True)
     os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", _cache)
     os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
+    platform = os.environ.get("TOKAMAK_BENCH_PLATFORM")
+    if platform:
+        import jax
+
+        jax.config.update("jax_platforms", platform)
+        from jax._src import xla_bridge as _xb
+
+        if _xb.backends_are_initialized():
+            from jax.extend.backend import clear_backends
+
+            clear_backends()
     import numpy as np
 
     from tokamak_zk_evm_tpu.testing.synthetic import build_synthetic

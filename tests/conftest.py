@@ -35,3 +35,7 @@ if _xb.backends_are_initialized():
 
     clear_backends()
 assert jax.devices()[0].platform == "cpu", jax.devices()
+
+
+def pytest_configure(config):
+    config.addinivalue_line("markers", "slow: long-running host-oracle tests")

@@ -16,10 +16,9 @@ from tokamak_zk_evm_tpu.models.protocol import Mixer
 from tokamak_zk_evm_tpu.models.prover import Prover
 from tokamak_zk_evm_tpu.models.setup import Sigma, Tau, generate_sigma
 from tokamak_zk_evm_tpu.models.verifier import Verifier
-from tokamak_zk_evm_tpu.ops.bigint import fr_ops
+from tokamak_zk_evm_tpu.ops import field as F
 from tokamak_zk_evm_tpu.testing.fixtures import build_fixture
 
-_fr = fr_ops()
 
 
 @pytest.fixture(scope="module")
@@ -35,9 +34,9 @@ def test_witness_satisfies_r1cs(ctx):
     u = W.gen_uXY(fx.placements, fx.library, fx.params)
     v = W.gen_vXY(fx.placements, fx.library, fx.params)
     w = W.gen_wXY(fx.placements, fx.library, fx.params)
-    ue = _fr.unpack(np.asarray(u.to_rou_evals()))
-    ve = _fr.unpack(np.asarray(v.to_rou_evals()))
-    we = _fr.unpack(np.asarray(w.to_rou_evals()))
+    ue = F.unpack_fr(np.asarray(u.to_rou_evals()))
+    ve = F.unpack_fr(np.asarray(v.to_rou_evals()))
+    we = F.unpack_fr(np.asarray(w.to_rou_evals()))
     for k in range(fx.params.n):
         for i in range(fx.params.s_max):
             assert (int(ue[k][i]) * int(ve[k][i]) - int(we[k][i])) % R_MOD == 0, (k, i)
@@ -46,7 +45,7 @@ def test_witness_satisfies_r1cs(ctx):
 def test_copy_constraints_hold(ctx):
     fx, tau, sigma = ctx
     b = W.gen_bXY(fx.placements, fx.infos, fx.params)
-    be = _fr.unpack(np.asarray(b.to_rou_evals()))
+    be = F.unpack_fr(np.asarray(b.to_rou_evals()))
     for e in fx.permutation:
         assert int(be[e.row][e.col]) == int(be[e.X][e.Y]), e
 

@@ -9,11 +9,10 @@ import numpy as np
 
 from tokamak_zk_evm_tpu.fields import R_MOD
 from tokamak_zk_evm_tpu.host import reference as ref
-from tokamak_zk_evm_tpu.ops.bigint import fr_ops
+from tokamak_zk_evm_tpu.ops import field as F
 from tokamak_zk_evm_tpu.ops import poly as P
 
 RNG = np.random.default_rng(23)
-ops = fr_ops()
 
 
 def rand_fr(n):
@@ -96,7 +95,7 @@ def test_rou_eval_roundtrip_and_lagrange():
     m = 8
     evals = [[0] for _ in range(m)]
     evals[m - 1][0] = 1
-    dev = P.BiPoly.from_rou_evals(np.asarray(ops.pack(evals)))
+    dev = P.BiPoly.from_rou_evals(np.asarray(F.pack_fr(evals)))
     from tokamak_zk_evm_tpu.fields import fr_root_of_unity
 
     w = fr_root_of_unity(m)
@@ -142,11 +141,11 @@ def test_div_by_ruffini_identity():
 def test_batch_inv_and_scans():
     n = 33
     vals = rand_fr(n)
-    a = np.asarray(ops.pack(vals))
-    inv = ops.unpack(np.asarray(P.fr_batch_inv(a)))
+    a = np.asarray(F.pack_fr(vals))
+    inv = F.unpack_fr(np.asarray(F.fr_batch_inv(a)))
     for i in range(n):
         assert inv[i] == pow(vals[i], -1, R_MOD)
-    suf = ops.unpack(np.asarray(P.fr_suffix_prod(a)))
+    suf = F.unpack_fr(np.asarray(F.fr_suffix_prod(a)))
     acc = 1
     want = [0] * n
     for i in reversed(range(n)):

@@ -24,9 +24,9 @@ import numpy as np
 import jax.numpy as jnp
 
 from ..fields import R_MOD, fr_root_of_unity
+from ..ops import field as F
 from ..ops import msm as msm_mod
 from ..ops import poly as P
-from ..ops.bigint import fr_ops
 from ..ops.poly import BiPoly
 from . import witness as W
 from .protocol import (
@@ -36,8 +36,6 @@ from .protocol import (
 )
 from .setup import Sigma
 from .transcript import TranscriptManager
-
-_fr = fr_ops()
 
 
 # ---------------------------------------------------------------------------
@@ -55,8 +53,8 @@ def encode_poly(sigma: Sigma, poly: BiPoly, params: SetupParams):
     rs_y = 2 * params.s_max
     if tx > rs_x or ty > rs_y:
         raise ValueError("Insufficient length of sigma.sigma_1.xy_powers")
-    coeffs = p.coeffs[:tx, :ty]
-    scalars = msm_mod.scalars_from_mont(coeffs.reshape(-1, _fr.L))
+    coeffs = p.coeffs[:, :tx, :ty]
+    scalars = msm_mod.scalars_from_mont(coeffs.reshape(F.FR_L, -1))
     px, py, pinf = sigma.sigma_1.xy_powers
     s1 = sigma.sigma_1
     grid_idx = (
@@ -64,7 +62,7 @@ def encode_poly(sigma: Sigma, poly: BiPoly, params: SetupParams):
     ).reshape(-1)
     idx = jnp.asarray(grid_idx)
     return msm_mod.msm(
-        scalars, jnp.take(px, idx, axis=0), jnp.take(py, idx, axis=0),
+        scalars, jnp.take(px, idx, axis=1), jnp.take(py, idx, axis=1),
         jnp.take(pinf, idx, axis=0),
     )
 
@@ -77,7 +75,7 @@ def _indexed_msm(points_family, scalars_ints, indices):
     idx = jnp.asarray(np.asarray(indices, dtype=np.int64))
     s = msm_mod.scalars_from_ints(scalars_ints)
     return msm_mod.msm(
-        s, jnp.take(px, idx, axis=0), jnp.take(py, idx, axis=0),
+        s, jnp.take(px, idx, axis=1), jnp.take(py, idx, axis=1),
         jnp.take(pinf, idx, axis=0),
     )
 
@@ -327,19 +325,20 @@ class Prover:
         sp, mix = self.params, self.mixer
         m_i, s_max = sp.m_i, sp.s_max
         f, g = self._f_g(thetas)
-        f_evals = f.to_rou_evals()  # [m_i, s_max, L]
+        f_evals = f.to_rou_evals()  # [16, m_i, s_max]
         g_evals = g.to_rou_evals()
 
         # scalers = g/f pointwise; suffix-product recurrence over the
         # transposed (placement-major) order (lib.rs:1856-1868)
-        flat_f = f_evals.reshape(-1, _fr.L)
-        flat_g = g_evals.reshape(-1, _fr.L)
-        scalers = P.jmul(flat_g, P.fr_batch_inv(flat_f))
-        st = scalers.reshape(m_i, s_max, _fr.L).transpose(1, 0, 2).reshape(-1, _fr.L)
-        suffix = P.fr_suffix_prod(st)
-        one = jnp.asarray(_fr.one_mont)[None, :]
-        r_flat = jnp.concatenate([suffix[1:], one], axis=0)
-        r_grid = r_flat.reshape(s_max, m_i, _fr.L).transpose(1, 0, 2)
+        L = F.FR_L
+        flat_f = f_evals.reshape(L, -1)
+        flat_g = g_evals.reshape(L, -1)
+        scalers = F.fr_mul(flat_g, F.fr_batch_inv(flat_f))
+        st = scalers.reshape(L, m_i, s_max).transpose(0, 2, 1).reshape(L, -1)
+        suffix = F.fr_suffix_prod(st)
+        one = jnp.asarray(F.fr_mont(1))
+        r_flat = jnp.concatenate([suffix[:, 1:], one], axis=1)
+        r_grid = r_flat.reshape(L, s_max, m_i).transpose(0, 2, 1)
         self.rXY = BiPoly.from_rou_evals(r_grid)
 
         RXY = self.rXY + self.t_mi.mul_scalar(mix.rR_X) + self.t_smax.mul_scalar(mix.rR_Y)
@@ -376,20 +375,20 @@ class Prover:
         e_roxy = ev(r_omegaX_omegaY)
         e_kl = ev(lagrange_KL)
         e_k0 = ev(lagrange_K0)
-        one = jnp.asarray(_fr.one_mont)
-        # (X - 1) on the eval domain
-        x_m1 = P.jsub(jnp.asarray(P.fr_powers(fr_root_of_unity(dx), dx)), one)[
-            :, None, :
-        ]
-        r_g = P.jmul(e_r, e_g)
-        p1 = P.jmul(P.jsub(e_r, one), e_kl)
-        p2 = P.jmul(x_m1, P.jsub(r_g, P.jmul(e_rox, e_f)))
-        p3 = P.jmul(e_k0, P.jsub(r_g, P.jmul(e_roxy, e_f)))
-        comb = P.jadd(
+        one = jnp.asarray(F.fr_mont(1)[:, 0])
+        # (X - 1) on the eval domain: [16, dx], prefix-broadcast over Y
+        x_m1 = F.fr_sub(
+            jnp.asarray(F.fr_powers(fr_root_of_unity(dx), dx)), one
+        )
+        r_g = F.fr_mul(e_r, e_g)
+        p1 = F.fr_mul(F.fr_sub(e_r, one), e_kl)
+        p2 = F.fr_mul(F.fr_sub(r_g, F.fr_mul(e_rox, e_f)), x_m1)
+        p3 = F.fr_mul(e_k0, F.fr_sub(r_g, F.fr_mul(e_roxy, e_f)))
+        comb = F.fr_add(
             p1,
-            P.jadd(
-                P.jmul(p2, jnp.asarray(P.scalar_mont(kappa0))),
-                P.jmul(p3, jnp.asarray(P.scalar_mont(kappa0_sq))),
+            F.fr_add(
+                F.fr_mul(p2, jnp.asarray(F.fr_mont(kappa0)[:, 0])),
+                F.fr_mul(p3, jnp.asarray(F.fr_mont(kappa0_sq)[:, 0])),
             ),
         )
         p_comb = BiPoly.from_rou_evals(comb)

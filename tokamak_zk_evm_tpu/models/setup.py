@@ -155,14 +155,13 @@ _DEVICE_THRESHOLD = 4096
 
 
 def _family(scalars, g1_gen):
-    """Fixed-base point family: host exact path for small counts, TPU
+    """Fixed-base point family: host exact path for small counts, device
     windowed fixed-base for large CRS families (SURVEY.md §7.2 step 4)."""
     if len(scalars) <= _DEVICE_THRESHOLD:
         return _pack(_g1_points_from_scalars(scalars, g1_gen))
-    from ..ops.fixed_base import fixed_base_msm_points, jac_to_affine_batch
+    from ..ops.msm import fixed_base_msm_points
 
-    jac = fixed_base_msm_points(scalars, gen=g1_gen)
-    return jac_to_affine_batch(jac)
+    return fixed_base_msm_points(scalars, g1_gen)
 
 
 def generate_sigma(

@@ -11,11 +11,9 @@ from __future__ import annotations
 import numpy as np
 
 from ..fields import R_MOD, fr_root_of_unity
-from ..ops.bigint import fr_ops
+from ..ops import field as F
 from ..ops.poly import BiPoly
 from .protocol import Instance, PermutationEntry, Placement, SetupParams, SubcircuitInfo, SubcircuitR1CS
-
-_fr = fr_ops()
 
 
 def gen_bXY(
@@ -33,7 +31,7 @@ def gen_bXY(
         for g, val in zip(fm, pl.variables):
             if l <= g < l_d and val:
                 grid[g - l][i] = val % R_MOD
-    return BiPoly.from_rou_evals(np.asarray(_fr.pack(grid)))
+    return BiPoly.from_rou_evals(np.asarray(F.pack_fr(grid)))
 
 
 def _gen_qap_xy(
@@ -55,7 +53,7 @@ def _gen_qap_xy(
                 continue
             for k, coeff in col:
                 grid[k, i] = (grid[k, i] + v * coeff) % R_MOD
-    return BiPoly.from_rou_evals(np.asarray(_fr.pack(grid.tolist())))
+    return BiPoly.from_rou_evals(np.asarray(F.pack_fr(grid.tolist())))
 
 
 def gen_uXY(placements, library, params):
@@ -85,8 +83,8 @@ def permutation_to_polys(
         s0[e.row][e.col] = x_pows[e.X]
         s1[e.row][e.col] = y_pows[e.Y]
     return (
-        BiPoly.from_rou_evals(np.asarray(_fr.pack(s0))),
-        BiPoly.from_rou_evals(np.asarray(_fr.pack(s1))),
+        BiPoly.from_rou_evals(np.asarray(F.pack_fr(s0))),
+        BiPoly.from_rou_evals(np.asarray(F.pack_fr(s1))),
     )
 
 
@@ -97,7 +95,7 @@ def gen_a_free_X(instance: Instance, params: SetupParams) -> BiPoly:
     vals = [v % R_MOD for v in instance.a_pub_user[: params.l_user]]
     vals += [v % R_MOD for v in instance.a_pub_block[:m_block]]
     assert len(vals) == params.l_free
-    return BiPoly.from_rou_evals(np.asarray(_fr.pack([[v] for v in vals])))
+    return BiPoly.from_rou_evals(np.asarray(F.pack_fr([[v] for v in vals])))
 
 
 def vanishing_poly_x(n: int) -> BiPoly:
@@ -120,14 +118,14 @@ def lagrange_kl_xy(m_i: int, s_max: int) -> BiPoly:
     """K_{m_i-1}(X) * L_{s_max-1}(Y) (`prove/src/lib.rs:2018-2071`)."""
     k = [[0] for _ in range(m_i)]
     k[m_i - 1] = [1]
-    kx = BiPoly.from_rou_evals(np.asarray(_fr.pack(k)))
+    kx = BiPoly.from_rou_evals(np.asarray(F.pack_fr(k)))
     l = [0] * s_max
     l[s_max - 1] = 1
-    ly = BiPoly.from_rou_evals(np.asarray(_fr.pack([l])))
+    ly = BiPoly.from_rou_evals(np.asarray(F.pack_fr([l])))
     return kx * ly
 
 
 def lagrange_k0_xy(m_i: int) -> BiPoly:
     k = [[0] for _ in range(m_i)]
     k[0] = [1]
-    return BiPoly.from_rou_evals(np.asarray(_fr.pack(k)))
+    return BiPoly.from_rou_evals(np.asarray(F.pack_fr(k)))

@@ -1,125 +1,42 @@
 """Bivariate polynomial engine over Fr — TPU-native `DensePolynomialExt`.
 
-Functional JAX counterpart of the reference's bivariate polynomial engine
-(`libs/src/bivariate_polynomial/mod.rs`), redesigned for XLA:
+Functional counterpart of the reference's bivariate polynomial engine
+(`libs/src/bivariate_polynomial/mod.rs`), on the limb-major backend layer:
 
-  * coefficients live on device as `[x_size, y_size, LIMBS]` uint32 grids in
-    Montgomery form (row = X power, column = Y power — same layout as the
+  * coefficients live on device as `[16, x_size, y_size]` uint32 grids in
+    Montgomery form (x = X power, y = Y power — same index convention as the
     reference, `mod.rs:1752-1758`);
   * products go through the batched bivariate NTT (`mod.rs:1846` `_mul`);
-  * `div_by_vanishing_opt` (`mod.rs:2284-2410`) becomes block cumulative sums;
-  * `div_by_ruffini` (`mod.rs:2412-2460`) becomes reverse associative scans —
-    the per-row Horner recurrence is rewritten as suffix sums of p_t * x^t,
-    which XLA parallelizes, instead of the rayon row loop;
-  * scalar helpers (powers tables, batch inversion, grand products) are
-    log-depth scans instead of serial host loops.
+  * `div_by_vanishing_opt` (`mod.rs:2284-2410`) becomes block cumulative sums
+    (the block count x_size/c is tiny — 2 or 4 in the protocol);
+  * `div_by_ruffini` (`mod.rs:2412-2460`) becomes suffix sums of p_t * x^t
+    instead of the rayon per-row Horner loop;
+  * every field op is ONE backend op, so jit graphs stay small.
 
 Degree bookkeeping follows the reference's lazy rule: sizes are powers of two
-and `*_degree` defaults to `size - 1` until `find_degree`/`optimize_size`
+and `*_degree` defaults to `size - 1` until `find_degree`/`optimized`
 tightens it.
 """
 
 from __future__ import annotations
 
-import functools
-
-import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..fields import FR, R_MOD, fr_root_of_unity
-from .bigint import fr_ops
+from ..fields import R_MOD
+from . import field as F
 from . import ntt as ntt_mod
 
-_fr = fr_ops()
-L = _fr.L
-
-jadd = jax.jit(_fr.add)
-jsub = jax.jit(_fr.sub)
-jmul = jax.jit(_fr.mont_mul)
-jneg = jax.jit(_fr.neg)
-jinv = jax.jit(_fr.inv)
+L = F.FR_L
 
 
 def _next_pow2(x: int) -> int:
     return 1 if x <= 1 else 1 << (x - 1).bit_length()
 
 
-@functools.lru_cache(maxsize=None)
-def scalar_mont(x: int):
-    """Pack a host scalar into a Montgomery limb vector [L] (cached, host const)."""
-    return _fr.pack([x % R_MOD])[0]
-
-
-@functools.lru_cache(maxsize=None)
-def fr_powers(x: int, n: int):
-    """Device table [n, L] of x^0..x^(n-1) in Montgomery form (log-doubling).
-
-    Cached as a host numpy constant so it is safe to use inside jit traces.
-    """
-    x = x % R_MOD
-    tbl = jnp.asarray(_fr.pack([1, x])) if n > 1 else jnp.asarray(_fr.pack([1]))
-    while tbl.shape[0] < n:
-        factor = scalar_mont(pow(x, tbl.shape[0], R_MOD))
-        tbl = jnp.concatenate([tbl, jmul(tbl, jnp.asarray(factor))], axis=0)
-    return np.asarray(tbl[:n])
-
-
-@functools.partial(jax.jit, static_argnames=("axis",))
-def _sum_tree(a, axis=0):
-    """Exact modular sum reduction along an axis via halving."""
-    n = a.shape[axis]
-    while n > 1:
-        if n % 2 == 1:
-            pad = [(0, 0)] * a.ndim
-            pad[axis] = (0, 1)
-            a = jnp.pad(a, pad)
-            n += 1
-        lo = jax.lax.slice_in_dim(a, 0, n // 2, axis=axis)
-        hi = jax.lax.slice_in_dim(a, n // 2, n, axis=axis)
-        a = _fr.add(lo, hi)
-        n = n // 2
-    return a
-
-
-def fr_sum(a, axis=0):
-    return jnp.squeeze(_sum_tree(a, axis=axis), axis=axis)
-
-
-@jax.jit
-def fr_prefix_prod(a):
-    """Inclusive prefix products along axis 0 (associative scan)."""
-    return jax.lax.associative_scan(_fr.mont_mul, a, axis=0)
-
-
-@jax.jit
-def fr_suffix_sum(a):
-    return jax.lax.associative_scan(_fr.add, a, axis=0, reverse=True)
-
-
-@jax.jit
-def fr_suffix_prod(a):
-    return jax.lax.associative_scan(_fr.mont_mul, a, axis=0, reverse=True)
-
-
-def fr_batch_inv(a):
-    """Batched exact inversion along axis 0 via two scans + one host inversion.
-
-    inv(a_i) = prefix_{i-1} * suffix_{i+1} * (prod all)^-1.  Zero entries give
-    garbage (as in the reference's pointwise div).
-    """
-    n = a.shape[0]
-    if n == 1:
-        total = _fr.unpack(np.asarray(a[0]))
-        return jnp.asarray(_fr.pack([pow(int(total), -1, R_MOD) if total else 0]))
-    pre = fr_prefix_prod(a)
-    suf = fr_suffix_prod(a)
-    total = int(_fr.unpack(np.asarray(pre[-1])))
-    tinv = scalar_mont(pow(total, -1, R_MOD) if total else 0)
-    ones = jnp.broadcast_to(jnp.asarray(_fr.one_mont), a[:1].shape)
-    pre_shift = jnp.concatenate([ones, pre[:-1]], axis=0)
-    suf_shift = jnp.concatenate([suf[1:], ones], axis=0)
-    return jmul(jmul(pre_shift, suf_shift), tinv)
+def _scalar_of(coeffs) -> int:
+    """Host value of the [0, 0] coefficient of a [16, x, y] grid."""
+    return int(F.unpack_fr(np.asarray(coeffs[:, 0, 0]).reshape(L, 1)).reshape(-1)[0])
 
 
 class BiPoly:
@@ -128,28 +45,28 @@ class BiPoly:
     __slots__ = ("coeffs", "x_degree", "y_degree")
 
     def __init__(self, coeffs, x_degree=None, y_degree=None):
-        assert coeffs.ndim == 3 and coeffs.shape[-1] == L
+        assert coeffs.ndim == 3 and coeffs.shape[0] == L
         self.coeffs = coeffs
-        self.x_degree = coeffs.shape[0] - 1 if x_degree is None else x_degree
-        self.y_degree = coeffs.shape[1] - 1 if y_degree is None else y_degree
+        self.x_degree = coeffs.shape[1] - 1 if x_degree is None else x_degree
+        self.y_degree = coeffs.shape[2] - 1 if y_degree is None else y_degree
 
     # -- construction ---------------------------------------------------
     @property
     def x_size(self):
-        return self.coeffs.shape[0]
+        return self.coeffs.shape[1]
 
     @property
     def y_size(self):
-        return self.coeffs.shape[1]
+        return self.coeffs.shape[2]
 
     @staticmethod
     def zero(x_size=1, y_size=1):
-        return BiPoly(jnp.zeros((x_size, y_size, L), dtype=jnp.uint32), -1, -1)
+        return BiPoly(jnp.zeros((L, x_size, y_size), dtype=jnp.uint32), -1, -1)
 
     @staticmethod
     def from_ints(grid) -> "BiPoly":
         """Host list-of-lists of Python ints -> BiPoly (for tests/fixtures)."""
-        arr = _fr.pack(grid)
+        arr = F.pack_fr(grid)
         assert arr.ndim == 3
         return BiPoly(jnp.asarray(arr))
 
@@ -159,14 +76,16 @@ class BiPoly:
 
     @staticmethod
     def from_rou_evals(evals, coset_x: int | None = None, coset_y: int | None = None):
-        """evals: [x_size, y_size, L] on-device grid of evaluations."""
-        return BiPoly(ntt_mod.bintt(evals, inverse=True, coset_x=coset_x, coset_y=coset_y))
+        """evals: [16, x_size, y_size] on-device grid of evaluations."""
+        return BiPoly(
+            ntt_mod.bintt(evals, inverse=True, coset_x=coset_x, coset_y=coset_y)
+        )
 
     def to_rou_evals(self, coset_x: int | None = None, coset_y: int | None = None):
         return ntt_mod.bintt(self.coeffs, coset_x=coset_x, coset_y=coset_y)
 
     def to_ints(self):
-        return _fr.unpack(np.asarray(self.coeffs))
+        return F.unpack_fr(np.asarray(self.coeffs))
 
     def clone(self):
         return BiPoly(self.coeffs, self.x_degree, self.y_degree)
@@ -181,12 +100,12 @@ class BiPoly:
         c = self.coeffs
         cx = min(self.x_size, nx)
         cy = min(self.y_size, ny)
-        out = jnp.zeros((nx, ny, L), dtype=jnp.uint32)
-        out = out.at[:cx, :cy].set(c[:cx, :cy])
+        out = jnp.zeros((L, nx, ny), dtype=jnp.uint32)
+        out = out.at[:, :cx, :cy].set(c[:, :cx, :cy])
         return BiPoly(out, min(self.x_degree, nx - 1), min(self.y_degree, ny - 1))
 
     def find_degree(self) -> tuple[int, int]:
-        nz = np.asarray(jnp.any(self.coeffs != 0, axis=2))
+        nz = np.asarray(jnp.any(self.coeffs != 0, axis=0))
         rows = nz.any(axis=1)
         cols = nz.any(axis=0)
         xd = int(np.max(np.nonzero(rows)[0])) if rows.any() else -1
@@ -210,34 +129,39 @@ class BiPoly:
         if isinstance(other, int):
             return self.add_scalar(other)
         a, b = self._common(other)
-        return BiPoly(jadd(a.coeffs, b.coeffs))
+        return BiPoly(F.fr_add(a.coeffs, b.coeffs))
 
     def __sub__(self, other):
         if isinstance(other, int):
             return self.add_scalar((-other) % R_MOD)
         a, b = self._common(other)
-        return BiPoly(jsub(a.coeffs, b.coeffs))
+        return BiPoly(F.fr_sub(a.coeffs, b.coeffs))
 
     def __neg__(self):
-        return BiPoly(jneg(self.coeffs), self.x_degree, self.y_degree)
+        return BiPoly(F.fr_neg(self.coeffs), self.x_degree, self.y_degree)
 
     def add_scalar(self, s: int) -> "BiPoly":
         """Add a constant (reference Add<&ScalarField>: adds into coeff [0,0])."""
-        c = self.coeffs.at[0, 0].set(jadd(self.coeffs[0, 0], scalar_mont(s)))
+        c = self.coeffs.at[:, 0, 0].set(
+            F.fr_add(self.coeffs[:, 0:1, 0], jnp.asarray(F.fr_mont(s)))[:, 0]
+        )
         return BiPoly(c, self.x_degree, self.y_degree)
 
     def mul_scalar(self, s: int) -> "BiPoly":
-        return BiPoly(jmul(self.coeffs, scalar_mont(s)), self.x_degree, self.y_degree)
+        return BiPoly(
+            F.fr_mul(self.coeffs, jnp.asarray(F.fr_mont(s)[:, 0])),
+            self.x_degree, self.y_degree,
+        )
 
     def __mul__(self, other):
         if isinstance(other, int):
             return self.mul_scalar(other)
         lxd, lyd = self.find_degree()
         rxd, ryd = other.find_degree()
-        if lxd + lyd <= 0 and lxd == 0 and lyd == 0 and (rxd + ryd) > 0:
-            return other.mul_scalar(int(_fr.unpack(np.asarray(self.coeffs[0, 0]))))
-        if rxd + ryd <= 0 and rxd == 0 and ryd == 0:
-            return self.mul_scalar(int(_fr.unpack(np.asarray(other.coeffs[0, 0]))))
+        if lxd == 0 and lyd == 0 and (rxd + ryd) > 0:
+            return other.mul_scalar(_scalar_of(self.coeffs))
+        if rxd == 0 and ryd == 0:
+            return self.mul_scalar(_scalar_of(other.coeffs))
         if lxd < 0 or rxd < 0:
             return BiPoly.zero()
         tx, ty = lxd + rxd + 1, lyd + ryd + 1
@@ -245,7 +169,7 @@ class BiPoly:
         b = other.resized(a.x_size, a.y_size)
         ea = a.to_rou_evals()
         eb = b.to_rou_evals()
-        prod = jmul(ea, eb)
+        prod = F.fr_mul(ea, eb)
         return BiPoly(ntt_mod.bintt(prod, inverse=True))
 
     def mul_monomial(self, xe: int, ye: int) -> "BiPoly":
@@ -254,33 +178,36 @@ class BiPoly:
         tx = (self.x_degree + 1) + xe
         ty = (self.y_degree + 1) + ye
         nx, ny = _next_pow2(tx), _next_pow2(ty)
-        out = jnp.zeros((nx, ny, L), dtype=jnp.uint32)
+        out = jnp.zeros((L, nx, ny), dtype=jnp.uint32)
         cx = min(self.x_size, nx - xe)
         cy = min(self.y_size, ny - ye)
-        out = out.at[xe : xe + cx, ye : ye + cy].set(self.coeffs[:cx, :cy])
+        out = out.at[:, xe : xe + cx, ye : ye + cy].set(self.coeffs[:, :cx, :cy])
         return BiPoly(out)
 
     # -- evaluation -----------------------------------------------------
     def eval_y_axis(self, y: int):
-        """Contract the Y axis at point y -> [x_size, L] device column."""
-        py = fr_powers(y, self.y_size)
-        return fr_sum(jmul(self.coeffs, py), axis=1)
+        """Contract the Y axis at point y -> [16, x_size] device column."""
+        py = jnp.asarray(F.fr_powers(y, self.y_size))
+        return F.fr_sum(F.fr_mul(self.coeffs, py), axis=1)
 
     def eval(self, x: int, y: int) -> int:
-        col = self.eval_y_axis(y)  # [x_size, L]
-        px = fr_powers(x, self.x_size)
-        val = fr_sum(jmul(col, px), axis=0)
-        return int(_fr.unpack(np.asarray(val)))
+        col = self.eval_y_axis(y)  # [16, x_size]
+        px = jnp.asarray(F.fr_powers(x, self.x_size))
+        val = F.fr_sum(F.fr_mul(col, px), axis=0)
+        return int(F.unpack_fr(np.asarray(val).reshape(L, 1)).reshape(-1)[0])
 
     def scale_coeffs_x(self, factor: int) -> "BiPoly":
-        """coeff[i][j] *= factor^i  (== substituting X -> factor*X ... used to
+        """coeff[i][j] *= factor^i  (== substituting X -> factor*X; used to
         shift the evaluation domain, reference mod.rs:1553-1558)."""
-        px = fr_powers(factor, self.x_size)[:, None, :]
-        return BiPoly(jmul(self.coeffs, px), self.x_degree, self.y_degree)
+        px = jnp.asarray(F.fr_powers(factor, self.x_size))  # [16, x]
+        # prefix-match broadcast: px applies per X row, repeated along Y
+        return BiPoly(F.fr_mul(self.coeffs, px),
+                      self.x_degree, self.y_degree)
 
     def scale_coeffs_y(self, factor: int) -> "BiPoly":
-        py = fr_powers(factor, self.y_size)[None, :, :]
-        return BiPoly(jmul(self.coeffs, py), self.x_degree, self.y_degree)
+        py = jnp.asarray(F.fr_powers(factor, self.y_size))  # [16, y]
+        return BiPoly(F.fr_mul(self.coeffs, py),
+                      self.x_degree, self.y_degree)
 
     # -- divisions ------------------------------------------------------
     def div_by_vanishing_opt(self, c: int, d: int):
@@ -297,45 +224,47 @@ class BiPoly:
         coeffs = p.coeffs
 
         # acc[x][y] = sum over X-blocks
-        acc = coeffs.reshape(m, c, y_size, L)
-        accs = acc[0]
+        acc = coeffs.reshape(L, m, c, y_size)
+        accs = acc[:, 0]
         for i in range(1, m):
-            accs = jadd(accs, acc[i])  # [c, y_size, L]
+            accs = F.fr_add(accs, acc[:, i])  # [16, c, y_size]
 
         # quo_y blocks: q[j] = -(acc_blk[0] + ... + acc_blk[j]), j < n-1
-        acc_blk = accs.reshape(c, n, d, L)
+        acc_blk = accs.reshape(L, c, n, d)
         qy_blocks = []
         run = None
         for j in range(n - 1):
-            run = acc_blk[:, j] if run is None else jadd(run, acc_blk[:, j])
-            qy_blocks.append(jneg(run))
+            run = acc_blk[:, :, j] if run is None else F.fr_add(run, acc_blk[:, :, j])
+            qy_blocks.append(F.fr_neg(run))
         if qy_blocks:
-            qy_core = jnp.stack(qy_blocks, axis=1)  # [c, n-1, d, L]
+            qy_core = jnp.stack(qy_blocks, axis=2)  # [16, c, n-1, d]
             qy_full = jnp.concatenate(
-                [qy_core, jnp.zeros((c, 1, d, L), dtype=jnp.uint32)], axis=1
-            ).reshape(c, y_size, L)
+                [qy_core, jnp.zeros((L, c, 1, d), dtype=jnp.uint32)], axis=2
+            ).reshape(L, c, y_size)
         else:
-            qy_full = jnp.zeros((c, y_size, L), dtype=jnp.uint32)
+            qy_full = jnp.zeros((L, c, y_size), dtype=jnp.uint32)
 
         # B = P - quo_y*(Y^d - 1)  (only rows < c are touched)
-        shifted = jnp.zeros_like(qy_full).at[:, d:].set(qy_full[:, : y_size - d])
-        b_top = jsub(jadd(coeffs[:c], qy_full), shifted)
-        b = jnp.concatenate([b_top, coeffs[c:]], axis=0)
+        shifted = jnp.zeros_like(qy_full).at[:, :, d:].set(
+            qy_full[:, :, : y_size - d]
+        )
+        b_top = F.fr_sub(F.fr_add(coeffs[:, :c], qy_full), shifted)
+        b = jnp.concatenate([b_top, coeffs[:, c:]], axis=1)
 
         # quo_x blocks: q[i] = -(B_blk[0] + ... + B_blk[i]), i < m-1
-        b_blk = b.reshape(m, c, y_size, L)
+        b_blk = b.reshape(L, m, c, y_size)
         qx_blocks = []
         run = None
         for i in range(m - 1):
-            run = b_blk[i] if run is None else jadd(run, b_blk[i])
-            qx_blocks.append(jneg(run))
+            run = b_blk[:, i] if run is None else F.fr_add(run, b_blk[:, i])
+            qx_blocks.append(F.fr_neg(run))
         if qx_blocks:
-            qx_core = jnp.concatenate(qx_blocks, axis=0)  # [(m-1)*c, y_size, L]
+            qx_core = jnp.concatenate(qx_blocks, axis=1)  # [16, (m-1)*c, y]
             qx_full = jnp.concatenate(
-                [qx_core, jnp.zeros((c, y_size, L), dtype=jnp.uint32)], axis=0
+                [qx_core, jnp.zeros((L, c, y_size), dtype=jnp.uint32)], axis=1
             )
         else:
-            qx_full = jnp.zeros((x_size, y_size, L), dtype=jnp.uint32)
+            qx_full = jnp.zeros((L, x_size, y_size), dtype=jnp.uint32)
 
         quo_x = BiPoly(
             qx_full,
@@ -362,36 +291,43 @@ class BiPoly:
         coeffs = self.coeffs
 
         if x == 0:
-            qx = jnp.zeros_like(coeffs).at[: x_len - 1].set(coeffs[1:])
-            rcol = coeffs[0]  # [y_len, L]
+            qx = jnp.zeros_like(coeffs).at[:, : x_len - 1].set(coeffs[:, 1:])
+            rcol = coeffs[:, 0]  # [16, y_len]
         else:
-            px = fr_powers(x, x_len)[:, None, :]
-            s = fr_suffix_sum(jmul(coeffs, px))  # [x_len, y_len, L]
+            px = jnp.asarray(F.fr_powers(x, x_len))  # [16, x] prefix-bcast
+            s = F.fr_suffix_sum(F.fr_mul(coeffs, px), axis=0)  # [16, x, y]
             s_next = jnp.concatenate(
-                [s[1:], jnp.zeros((1, y_len, L), dtype=jnp.uint32)], axis=0
+                [s[:, 1:], jnp.zeros((L, 1, y_len), dtype=jnp.uint32)], axis=1
             )
             xinv = pow(x, -1, R_MOD)
-            pxinv = jmul(fr_powers(xinv, x_len), scalar_mont(xinv))[:, None, :]
-            qx = jmul(s_next, pxinv)
-            rcol = s[0]
+            pxinv = F.fr_mul(
+                jnp.asarray(F.fr_powers(xinv, x_len)),
+                jnp.asarray(F.fr_mont(xinv)[:, 0]),
+            )  # [16, x]
+            qx = F.fr_mul(s_next, pxinv)
+            rcol = s[:, 0]
 
         # divide the remainder column R(Y) by (Y - y)
         if y == 0:
-            qy = jnp.zeros_like(rcol).at[: y_len - 1].set(rcol[1:])
-            rem = rcol[0]
+            qy = jnp.zeros_like(rcol).at[:, : y_len - 1].set(rcol[:, 1:])
+            rem = rcol[:, 0]
         else:
-            py = fr_powers(y, y_len)
-            s = fr_suffix_sum(jmul(rcol, py))  # [y_len, L]
-            s_next = jnp.concatenate([s[1:], jnp.zeros((1, L), dtype=jnp.uint32)], axis=0)
+            py = jnp.asarray(F.fr_powers(y, y_len))
+            s = F.fr_suffix_sum(F.fr_mul(rcol, py), axis=0)  # [16, y]
+            s_next = jnp.concatenate(
+                [s[:, 1:], jnp.zeros((L, 1), dtype=jnp.uint32)], axis=1
+            )
             yinv = pow(y, -1, R_MOD)
-            pyinv = jmul(fr_powers(yinv, y_len), scalar_mont(yinv))
-            qy = jmul(s_next, pyinv)
-            rem = s[0]
+            pyinv = F.fr_mul(
+                jnp.asarray(F.fr_powers(yinv, y_len)), jnp.asarray(F.fr_mont(yinv)[:, 0])
+            )
+            qy = F.fr_mul(s_next, pyinv)
+            rem = s[:, 0]
 
         return (
             BiPoly(qx),
-            BiPoly(qy[None, :, :]),
-            int(_fr.unpack(np.asarray(rem))),
+            BiPoly(qy[:, None, :]),
+            int(F.unpack_fr(np.asarray(rem).reshape(L, 1)).reshape(-1)[0]),
         )
 
 
