@@ -1,0 +1,199 @@
+"""On-chip validation + microbench for the Pallas TPU backend.
+
+Not a pytest (the suite runs on a CPU mesh); run directly on the TPU host:
+    python scripts/tpu_check.py [field|ntt|prims|all]
+
+Checks Pallas kernels bit-exactly against host Python-int oracles and prints
+throughput numbers for the hot ops and for the XLA data-movement primitives
+(argsort / gather / scatter) the MSM design depends on.
+"""
+
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, ".")
+os.makedirs(".cache/jax", exist_ok=True)
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", ".cache/jax")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
+
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+
+from tokamak_zk_evm_tpu.fields import FQ, FR, R_MOD, Q_MOD  # noqa: E402
+from tokamak_zk_evm_tpu.backend import pallas_kernels as P  # noqa: E402
+
+
+def log(*a):
+    print(*a, flush=True)
+
+
+def pack(spec, vals):
+    out = np.zeros((spec.n_limbs, len(vals)), np.uint32)
+    for i, v in enumerate(vals):
+        out[:, i] = spec.to_limbs(spec.to_mont(v % spec.modulus))
+    return jnp.asarray(out)
+
+
+def unpack(spec, arr):
+    arr = np.asarray(arr)
+    return [spec.from_mont(spec.from_limbs(arr[:, i])) for i in range(arr.shape[1])]
+
+
+def check_field():
+    rng = np.random.default_rng(0)
+    n = 1000
+    for spec, name, add, sub, mul, neg in (
+        (FR, "fr", P.fr_add, P.fr_sub, P.fr_mul, P.fr_neg),
+        (FQ, "fq", P.fq_add, P.fq_sub, P.fq_mul, P.fq_neg),
+    ):
+        av = [int.from_bytes(rng.bytes(48), "little") % spec.modulus for _ in range(n)]
+        bv = [int.from_bytes(rng.bytes(48), "little") % spec.modulus for _ in range(n)]
+        av[0] = 0
+        bv[1] = 0
+        a, b = pack(spec, av), pack(spec, bv)
+        t0 = time.time()
+        got = unpack(spec, add(a, b))
+        log(f"[{name}] add compile+run {time.time()-t0:.1f}s")
+        assert got == [(x + y) % spec.modulus for x, y in zip(av, bv)], f"{name} add"
+        assert unpack(spec, sub(a, b)) == [(x - y) % spec.modulus for x, y in zip(av, bv)]
+        t0 = time.time()
+        got = unpack(spec, mul(a, b))
+        log(f"[{name}] mul compile+run {time.time()-t0:.1f}s")
+        assert got == [(x * y) % spec.modulus for x, y in zip(av, bv)], f"{name} mul"
+        assert unpack(spec, neg(a)) == [(-x) % spec.modulus for x in av]
+        # scalar broadcast + rep broadcast
+        s = pack(spec, [bv[0]])
+        assert unpack(spec, mul(a, s)) == [(x * bv[0]) % spec.modulus for x in av]
+        b4 = pack(spec, bv[:4])
+        got = unpack(spec, mul(a, b4, rep=1))
+        assert got == [(x * bv[i % 4]) % spec.modulus for i, x in enumerate(av)]
+        # inversion
+        got = unpack(spec, P.fr_inv(a) if name == "fr" else P.fq_inv(a))
+        want = [0 if x == 0 else pow(x, -1, spec.modulus) for x in av]
+        assert got == want, f"{name} inv"
+        got = unpack(spec, P._batch_inv(name, a))
+        assert got == want, f"{name} batch_inv"
+        log(f"[{name}] add/sub/mul/neg/inv/batch_inv exact vs host oracle: OK")
+
+    # scans
+    av = [int.from_bytes(rng.bytes(32), "little") % R_MOD for _ in range(257)]
+    a = pack(FR, av)
+    got = unpack(FR, P.fr_prefix_prod(a))
+    acc, want = 1, []
+    for x in av:
+        acc = acc * x % R_MOD
+        want.append(acc)
+    assert got == want, "prefix_prod"
+    got = unpack(FR, P.fr_suffix_prod(a))
+    acc, want = 1, []
+    for x in reversed(av):
+        acc = acc * x % R_MOD
+        want.append(acc)
+    assert got == want[::-1], "suffix_prod"
+    log("[fr] prefix/suffix prod: OK")
+
+
+def bench_field():
+    rng = np.random.default_rng(1)
+    for spec, name, mul in ((FR, "fr", P.fr_mul), (FQ, "fq", P.fq_mul)):
+        B = 1 << 22
+        a = jnp.asarray(rng.integers(0, 1 << 16, (spec.n_limbs, B), dtype=np.uint32))
+        b = jnp.asarray(rng.integers(0, 1 << 16, (spec.n_limbs, B), dtype=np.uint32))
+        mul(a, b).block_until_ready()  # compile
+        t0 = time.time()
+        iters = 10
+        for _ in range(iters):
+            out = mul(a, b)
+        out.block_until_ready()
+        dt = (time.time() - t0) / iters
+        log(f"[{name}] mul 2^22: {dt*1e3:.2f} ms  ({B/dt/1e9:.2f} Gmul/s)")
+
+
+def check_ntt():
+    rng = np.random.default_rng(2)
+    from tokamak_zk_evm_tpu.ops import ntt as ntt_mod
+    from tokamak_zk_evm_tpu.ops import field as F
+
+    for n, batch in ((8, 4), (64, 16), (256, 2)):
+        vals = [[int.from_bytes(rng.bytes(32), "little") % R_MOD for _ in range(n)]
+                for _ in range(batch)]
+        a = jnp.asarray(F.pack_fr(vals))
+        ev = ntt_mod.ntt_batched(a)
+        back = ntt_mod.ntt_batched(ev, inverse=True)
+        got = F.unpack_fr(np.asarray(back))
+        assert all(
+            int(got[i][j]) == vals[i][j] for i in range(batch) for j in range(n)
+        ), f"ntt roundtrip n={n}"
+        # forward oracle on the first row
+        from tokamak_zk_evm_tpu.fields import fr_root_of_unity
+        w = fr_root_of_unity(n)
+        evs = F.unpack_fr(np.asarray(ev))
+        want0 = [
+            sum(vals[0][j] * pow(w, i * j, R_MOD) for j in range(n)) % R_MOD
+            for i in range(n)
+        ]
+        assert [int(x) for x in evs[0]] == want0, f"ntt fwd n={n}"
+    log("[ntt] roundtrip + forward oracle: OK")
+
+
+def bench_ntt():
+    rng = np.random.default_rng(3)
+    from tokamak_zk_evm_tpu.ops import ntt as ntt_mod
+
+    for x_size, y_size in ((8192, 512), (16384, 512)):
+        a = jnp.asarray(
+            rng.integers(0, 1 << 16, (16, x_size, y_size), dtype=np.uint32)
+        )
+        # not valid field elements necessarily, but fine for timing
+        ntt_mod.bintt(a).block_until_ready()
+        t0 = time.time()
+        for _ in range(3):
+            out = ntt_mod.bintt(a)
+        out.block_until_ready()
+        log(f"[ntt] bintt {x_size}x{y_size}: {(time.time()-t0)/3*1e3:.1f} ms")
+
+
+def bench_prims():
+    rng = np.random.default_rng(4)
+    N = 1 << 22
+    keys = jnp.asarray(rng.integers(0, 1 << 16, (N,), dtype=np.uint32))
+    pts = jnp.asarray(rng.integers(0, 1 << 16, (24, N), dtype=np.uint32))
+
+    def timeit(name, fn, iters=5):
+        fn()  # compile
+        t0 = time.time()
+        r = None
+        for _ in range(iters):
+            r = fn()
+        jax.tree_util.tree_map(lambda x: x.block_until_ready(), r)
+        log(f"[prims] {name}: {(time.time()-t0)/iters*1e3:.1f} ms")
+
+    timeit("argsort 2^22 u32", lambda: jnp.argsort(keys))
+    order = jnp.argsort(keys)
+    order.block_until_ready()
+    timeit("gather [24,2^22] perm", lambda: pts[:, order])
+    half = N // 2
+    sk = jnp.asarray(rng.integers(0, (1 << 16) + 1, (half,), dtype=np.uint32))
+    vals = pts[:, :half]
+    timeit(
+        "scatter-set [24,65537] from 2^21 dup keys",
+        lambda: jnp.zeros((24, 65537), jnp.uint32).at[:, sk].set(vals),
+    )
+    timeit("sort+slice 2^21 u32", lambda: jnp.sort(sk))
+
+
+if __name__ == "__main__":
+    what = sys.argv[1] if len(sys.argv) > 1 else "all"
+    log(f"platform: {jax.default_backend()}, devices: {jax.devices()}")
+    if what in ("field", "all"):
+        check_field()
+        bench_field()
+    if what in ("ntt", "all"):
+        check_ntt()
+        bench_ntt()
+    if what in ("prims", "all"):
+        bench_prims()
+    log("DONE")

@@ -16,6 +16,11 @@ import jax
 
 @functools.lru_cache(maxsize=1)
 def backend_kind() -> str:
+    import os
+
+    forced = os.environ.get("TZK_BACKEND")
+    if forced in ("cpu", "tpu"):
+        return forced
     return "tpu" if jax.default_backend() == "tpu" else "cpu"
 
 

@@ -1,0 +1,990 @@
+"""Pallas TPU backend: VPU kernels for the limb-major field/curve ops.
+
+This is the TPU half of the two-backend compute layer (the CPU half is
+native/zk_kernels.cpp behind XLA FFI).  It implements the same API surface
+(see backend/api.py) with the same buffer conventions — little-endian 16-bit
+limbs in uint32 lanes, limb-major [L, B], Montgomery form — so arrays cross
+backends bit-exactly.  It replaces ICICLE's CUDA kernels in the reference
+(packages/backend/libs -> icicle ntt/msm/vec_ops, SURVEY.md §2 device row).
+
+Design notes (TPU-first, not a port):
+  * All bignum arithmetic uses 16-bit limbs held in uint32 lanes: the product
+    of two limbs plus two carries fits a uint32 exactly, so CIOS Montgomery
+    multiplication runs entirely in native 32-bit VPU ops with no double-width
+    emulation.  Batch elements occupy the 128-wide lane axis; limbs unroll.
+  * Elementwise field kernels process [L, S, 128] VMEM blocks (batch reshaped
+    to sublanes x lanes).  The CIOS loop is fully unrolled — ~2k vector ops
+    for Fr, ~5k for Fq — which Mosaic schedules well; there is no XLA-level
+    limb graph (that route hits superlinear fusion-pass compile times).
+  * The NTT runs stages at the JAX level with batch in the lane dimension
+    ([16, n, batch]) so butterfly pairing indexes sublanes, never lanes; each
+    stage is one Pallas butterfly kernel over a [16, nb, 2, m, TB] view.
+  * Curve ops use batched *affine* addition with block Montgomery batch
+    inversion (~7.5 Fq muls per add vs ~18 for jacobian-jacobian): inversion
+    cost amortizes to ~3.2 muls via 32-way product blocks.  The MSM is a
+    sort-based Pippenger (window = one 16-bit limb) whose bucket accumulation
+    is a leftover-flush merge tree: N batched affine adds per window, the
+    per-level segment-boundary leftovers scattered into per-level bucket rows
+    (at most one per bucket per level, so plain scatter-set suffices), then a
+    tree reduce over levels.  Data-dependent scatter-adds never happen on
+    device — exactly the restructuring SURVEY.md §7.3(2) calls for.
+  * Tiny sequential tails (Horner window combine, table setup) run on host
+    with exact Python ints (host/curve.py), mirroring how the reference keeps
+    its transcript on the CPU.
+
+Env knobs:
+  TZK_PALLAS_INTERPRET=1  run all kernels in interpreter mode (CPU testing).
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..fields import FQ, FR
+
+FR_L = 16
+FQ_L = 24
+LANES = 128
+_SUBS = 64  # sublanes per elementwise block -> [L, 64, 128] blocks
+
+_INTERPRET = os.environ.get("TZK_PALLAS_INTERPRET", "0") == "1"
+
+_FR_MOD = tuple(FR.to_limbs(FR.modulus))
+_FQ_MOD = tuple(FQ.to_limbs(FQ.modulus))
+_FR_N0 = FR.n0_inv
+_FQ_N0 = FQ.n0_inv
+_FR_ONE = tuple(FR.to_limbs(FR.R_mod))
+_FQ_ONE = tuple(FQ.to_limbs(FQ.R_mod))
+
+_M16 = 0xFFFF  # python int: weak-typed scalar, safe to close over in kernels
+
+
+# ---------------------------------------------------------------------------
+# Limb arithmetic on lists of uint32 jnp values (any broadcastable shapes)
+# ---------------------------------------------------------------------------
+
+
+def _zero_like(a, b):
+    shape = jnp.broadcast_shapes(jnp.shape(a[0]), jnp.shape(b[0]))
+    return jnp.zeros(shape, jnp.uint32)
+
+
+def _cond_sub_top(t, top, mod):
+    """Subtract `mod` from limb list `t` iff top != 0 or t >= mod."""
+    borrow = jnp.zeros_like(t[0])
+    r = []
+    for i, m in enumerate(mod):
+        d = t[i] - m - borrow
+        r.append(d & _M16)
+        borrow = (d >> 16) & 1
+    need = (top != 0) | (borrow == 0)
+    return [jnp.where(need, r[i], t[i]) for i in range(len(mod))]
+
+
+def _addm(a, b, mod):
+    zero = _zero_like(a, b)
+    c = zero
+    t = []
+    for i in range(len(mod)):
+        s = a[i] + b[i] + c
+        t.append(s & _M16)
+        c = s >> 16
+    return _cond_sub_top(t, c, mod)
+
+
+def _subm(a, b, mod):
+    zero = _zero_like(a, b)
+    borrow = zero
+    t = []
+    for i in range(len(mod)):
+        d = a[i] - b[i] - borrow
+        t.append(d & _M16)
+        borrow = (d >> 16) & 1
+    c = zero
+    r = []
+    for i, m in enumerate(mod):
+        s = t[i] + m + c
+        r.append(s & _M16)
+        c = s >> 16
+    neg = borrow != 0
+    return [jnp.where(neg, r[i], t[i]) for i in range(len(mod))]
+
+
+def _negm(a, mod):
+    is_zero = a[0] == 0
+    for i in range(1, len(mod)):
+        is_zero = is_zero & (a[i] == 0)
+    borrow = jnp.zeros_like(a[0])
+    r = []
+    for i, m in enumerate(mod):
+        d = m - a[i] - borrow
+        r.append(d & _M16)
+        borrow = (d >> 16) & 1
+    return [jnp.where(is_zero, jnp.zeros_like(a[0]), r[i]) for i in range(len(mod))]
+
+
+def _mulm(a, b, mod, n0):
+    """CIOS Montgomery multiply; every intermediate fits uint32 exactly."""
+    L = len(mod)
+    zero = _zero_like(a, b)
+    modc = list(mod)
+    t = [zero] * (L + 2)
+    for i in range(L):
+        ai = a[i]
+        carry = zero
+        for j in range(L):
+            cur = t[j] + ai * b[j] + carry
+            t[j] = cur & _M16
+            carry = cur >> 16
+        cur = t[L] + carry
+        t[L] = cur & _M16
+        t[L + 1] = t[L + 1] + (cur >> 16)
+        m = (t[0] * n0) & _M16
+        carry = (t[0] + m * modc[0]) >> 16
+        for j in range(1, L):
+            cur = t[j] + m * modc[j] + carry
+            t[j - 1] = cur & _M16
+            carry = cur >> 16
+        cur = t[L] + carry
+        t[L - 1] = cur & _M16
+        t[L] = t[L + 1] + (cur >> 16)
+        t[L + 1] = zero
+    return _cond_sub_top(t[:L], t[L], mod)
+
+
+# ---------------------------------------------------------------------------
+# Elementwise kernels: [L, S, 128] blocks, batch flattened to sublanes x lanes
+# ---------------------------------------------------------------------------
+
+
+@functools.lru_cache(maxsize=None)
+def _ew_kernel(op: str, field: str, scalar_b: bool):
+    mod = _FR_MOD if field == "fr" else _FQ_MOD
+    n0 = _FR_N0 if field == "fr" else _FQ_N0
+    L = len(mod)
+
+    def kernel(a_ref, b_ref, o_ref):
+        a = [a_ref[i] for i in range(L)]
+        if scalar_b:
+            b = [jnp.broadcast_to(b_ref[i], a[0].shape) for i in range(L)]
+        else:
+            b = [b_ref[i] for i in range(L)]
+        if op == "add":
+            out = _addm(a, b, mod)
+        elif op == "sub":
+            out = _subm(a, b, mod)
+        else:
+            out = _mulm(a, b, mod, n0)
+        for i in range(L):
+            o_ref[i] = out[i]
+
+    return kernel
+
+
+@functools.lru_cache(maxsize=None)
+def _un_kernel(op: str, field: str):
+    mod = _FR_MOD if field == "fr" else _FQ_MOD
+    L = len(mod)
+
+    def kernel(a_ref, o_ref):
+        a = [a_ref[i] for i in range(L)]
+        out = _negm(a, mod)
+        for i in range(L):
+            o_ref[i] = out[i]
+
+    return kernel
+
+
+def _to_blocks(x, L):
+    """[L, B] -> ([L, S, 128], B) padded so S % _SUBS == 0."""
+    B = x.shape[1]
+    bp = max(_SUBS * LANES, -(-B // LANES) * LANES)
+    s = bp // LANES
+    s = -(-s // _SUBS) * _SUBS
+    bp = s * LANES
+    if bp != B:
+        x = jnp.pad(x, ((0, 0), (0, bp - B)))
+    return x.reshape(L, s, LANES), B
+
+
+def _from_blocks(x, B):
+    L = x.shape[0]
+    return x.reshape(L, -1)[:, :B]
+
+
+@functools.lru_cache(maxsize=None)
+def _ew_binop_fn(op, field, scalar_b, s_total):
+    """Cached jit-wrapped pallas_call: stable identity => no retrace/recompile
+    per invocation (fresh index_map lambdas would otherwise defeat the pjit
+    cache and recompile every call)."""
+    L = FR_L if field == "fr" else FQ_L
+    blk = pl.BlockSpec((L, _SUBS, LANES), lambda i: (0, i, 0),
+                       memory_space=pltpu.VMEM)
+    if scalar_b:
+        b_spec = pl.BlockSpec((L, 1, 1), lambda i: (0, 0, 0),
+                              memory_space=pltpu.VMEM)
+    else:
+        b_spec = blk
+    fn = pl.pallas_call(
+        _ew_kernel(op, field, scalar_b),
+        grid=(s_total // _SUBS,),
+        in_specs=[blk, b_spec],
+        out_specs=blk,
+        out_shape=jax.ShapeDtypeStruct((L, s_total, LANES), jnp.uint32),
+        interpret=_INTERPRET,
+    )
+    return jax.jit(fn)
+
+
+def _ew_binop(op, field, a, b, rep=1):
+    L = a.shape[0]
+    Ba, Bb = a.shape[1], b.shape[1]
+    scalar_b = Bb == 1
+    if not scalar_b and Bb != Ba:
+        idx = (jnp.arange(Ba) // rep) % Bb
+        b = b[:, idx]
+        Bb = Ba
+    ab, B = _to_blocks(a, L)
+    s = ab.shape[1]
+    if scalar_b:
+        bb = b.reshape(L, 1, 1)
+    else:
+        bb, _ = _to_blocks(b, L)
+    out = _ew_binop_fn(op, field, scalar_b, s)(ab, bb)
+    return _from_blocks(out, B)
+
+
+@functools.lru_cache(maxsize=None)
+def _ew_unop_fn(op, field, s_total):
+    L = FR_L if field == "fr" else FQ_L
+    blk = pl.BlockSpec((L, _SUBS, LANES), lambda i: (0, i, 0),
+                       memory_space=pltpu.VMEM)
+    fn = pl.pallas_call(
+        _un_kernel(op, field),
+        grid=(s_total // _SUBS,),
+        in_specs=[blk],
+        out_specs=blk,
+        out_shape=jax.ShapeDtypeStruct((L, s_total, LANES), jnp.uint32),
+        interpret=_INTERPRET,
+    )
+    return jax.jit(fn)
+
+
+def _ew_unop(op, field, a):
+    L = a.shape[0]
+    ab, B = _to_blocks(a, L)
+    out = _ew_unop_fn(op, field, ab.shape[1])(ab)
+    return _from_blocks(out, B)
+
+
+def fr_add(a, b, rep=1):
+    return _ew_binop("add", "fr", a, b, rep)
+
+
+def fr_sub(a, b, rep=1):
+    return _ew_binop("sub", "fr", a, b, rep)
+
+
+def fr_mul(a, b, rep=1):
+    return _ew_binop("mul", "fr", a, b, rep)
+
+
+def fq_add(a, b, rep=1):
+    return _ew_binop("add", "fq", a, b, rep)
+
+
+def fq_sub(a, b, rep=1):
+    return _ew_binop("sub", "fq", a, b, rep)
+
+
+def fq_mul(a, b, rep=1):
+    return _ew_binop("mul", "fq", a, b, rep)
+
+
+def fr_neg(a):
+    return _ew_unop("neg", "fr", a)
+
+
+def fq_neg(a):
+    return _ew_unop("neg", "fq", a)
+
+
+# ---------------------------------------------------------------------------
+# Inversion: Fermat exponentiation (static bits) + block batch inversion
+# ---------------------------------------------------------------------------
+
+
+def _const_col(field, value):
+    spec = FR if field == "fr" else FQ
+    limbs = spec.to_limbs(spec.to_mont(value % spec.modulus))
+    return jnp.asarray(np.array(limbs, np.uint32).reshape(len(limbs), 1))
+
+
+@functools.lru_cache(maxsize=None)
+def _one_col_np(field):
+    spec = FR if field == "fr" else FQ
+    limbs = spec.to_limbs(spec.R_mod)
+    return np.array(limbs, np.uint32).reshape(len(limbs), 1)
+
+
+@functools.lru_cache(maxsize=None)
+def _inv_fn(field, s_total):
+    """Fermat inversion a^(p-2) as ONE kernel: fori_loop over the (static)
+    exponent bits held in SMEM, two Montgomery muls per iteration.  A JAX-
+    level square-and-multiply chain would be ~380 separate dispatches."""
+    spec = FR if field == "fr" else FQ
+    mod = _FR_MOD if field == "fr" else _FQ_MOD
+    n0 = _FR_N0 if field == "fr" else _FQ_N0
+    one = _FR_ONE if field == "fr" else _FQ_ONE
+    L = len(mod)
+    bits = np.array([int(b) for b in bin(spec.modulus - 2)[2:]], np.uint32)
+
+    def kernel(bits_ref, a_ref, o_ref):
+        a = [a_ref[i] for i in range(L)]
+        acc = [jnp.full(a[0].shape, one[i], jnp.uint32) for i in range(L)]
+
+        def body(k, acc):
+            sq = _mulm(acc, acc, mod, n0)
+            mu = _mulm(sq, a, mod, n0)
+            bit = bits_ref[k]
+            return [jnp.where(bit != 0, mu[i], sq[i]) for i in range(L)]
+
+        acc = jax.lax.fori_loop(0, len(bits), body, acc)
+        for i in range(L):
+            o_ref[i] = acc[i]
+
+    blk = pl.BlockSpec((L, _SUBS, LANES), lambda i: (0, i, 0),
+                       memory_space=pltpu.VMEM)
+    fn = pl.pallas_call(
+        kernel,
+        grid=(s_total // _SUBS,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            blk,
+        ],
+        out_specs=blk,
+        out_shape=jax.ShapeDtypeStruct((L, s_total, LANES), jnp.uint32),
+        interpret=_INTERPRET,
+    )
+    jfn = jax.jit(fn)
+    return lambda a: jfn(jnp.asarray(bits), a)
+
+
+def _field_inv(field, a):
+    """Elementwise modular inversion on [L, B]; 0 -> 0."""
+    L = a.shape[0]
+    ab, B = _to_blocks(a, L)
+    out = _inv_fn(field, ab.shape[1])(ab)
+    return _from_blocks(out, B)
+
+
+def fr_inv(a):
+    return _field_inv("fr", a)
+
+
+def fq_inv(a):
+    return _field_inv("fq", a)
+
+
+def _is_zero_cols(a):
+    return jnp.all(a == 0, axis=0)
+
+
+_BINV_K = 16  # block width for batched inversion (prefix length per group)
+
+
+@functools.lru_cache(maxsize=None)
+def _binv_fwd_fn(field, r_total):
+    """Forward pass: prefix-product stacks.  x [L, K, R, 128] -> P with
+    P[k] = x[0]*...*x[k] (prefix along the K axis, one kernel)."""
+    mod = _FR_MOD if field == "fr" else _FQ_MOD
+    n0 = _FR_N0 if field == "fr" else _FQ_N0
+    L = len(mod)
+    K = _BINV_K
+
+    def kernel(x_ref, o_ref):
+        acc = [x_ref[i, 0] for i in range(L)]
+        for i in range(L):
+            o_ref[i, 0] = acc[i]
+
+        def body(k, acc):
+            xk = [x_ref[i, k] for i in range(L)]
+            acc = _mulm(acc, xk, mod, n0)
+            for i in range(L):
+                o_ref[i, k] = acc[i]
+            return acc
+
+        jax.lax.fori_loop(1, K, body, acc)
+
+    rb = min(r_total, 8)
+    blk = pl.BlockSpec((L, K, rb, LANES), lambda i: (0, 0, i, 0),
+                       memory_space=pltpu.VMEM)
+    fn = pl.pallas_call(
+        kernel,
+        grid=(r_total // rb,),
+        in_specs=[blk],
+        out_specs=blk,
+        out_shape=jax.ShapeDtypeStruct((L, K, r_total, LANES), jnp.uint32),
+        interpret=_INTERPRET,
+    )
+    return jax.jit(fn)
+
+
+@functools.lru_cache(maxsize=None)
+def _binv_bwd_fn(field, r_total):
+    """Backward pass: walk-back.  inv[k] = P[k-1] * t_k with t running from
+    the inverted block totals; one kernel."""
+    mod = _FR_MOD if field == "fr" else _FQ_MOD
+    n0 = _FR_N0 if field == "fr" else _FQ_N0
+    L = len(mod)
+    K = _BINV_K
+
+    def kernel(x_ref, p_ref, tinv_ref, o_ref):
+        t = [tinv_ref[i] for i in range(L)]
+
+        def body(j, t):
+            k = K - 1 - j
+            pk = [p_ref[i, k - 1] for i in range(L)]
+            inv_k = _mulm(pk, t, mod, n0)
+            for i in range(L):
+                o_ref[i, k] = inv_k[i]
+            xk = [x_ref[i, k] for i in range(L)]
+            return _mulm(t, xk, mod, n0)
+
+        t = jax.lax.fori_loop(0, K - 1, body, t)
+        for i in range(L):
+            o_ref[i, 0] = t[i]
+
+    rb = min(r_total, 8)
+    blk4 = pl.BlockSpec((L, K, rb, LANES), lambda i: (0, 0, i, 0),
+                        memory_space=pltpu.VMEM)
+    blk3 = pl.BlockSpec((L, rb, LANES), lambda i: (0, i, 0),
+                        memory_space=pltpu.VMEM)
+    fn = pl.pallas_call(
+        kernel,
+        grid=(r_total // rb,),
+        in_specs=[blk4, blk4, blk3],
+        out_specs=blk4,
+        out_shape=jax.ShapeDtypeStruct((L, K, r_total, LANES), jnp.uint32),
+        interpret=_INTERPRET,
+    )
+    return jax.jit(fn)
+
+
+def _batch_inv_nz(field, a1):
+    """Batched inversion of a zero-free [L, B] array (~3 muls/element)."""
+    L, B = a1.shape
+    K = _BINV_K
+    onecol = jnp.asarray(_one_col_np(field))
+    if B <= 2 * K * LANES:
+        return _field_inv(field, a1)
+    r = -(-B // (K * LANES))
+    r = -(-r // 8) * 8
+    Bp = K * r * LANES
+    if Bp != B:
+        a1 = jnp.concatenate(
+            [a1, jnp.broadcast_to(onecol, (L, Bp - B))], axis=1
+        )
+    x = a1.reshape(L, K, r, LANES)
+    P = _binv_fwd_fn(field, r)(x)
+    tot = P[:, K - 1].reshape(L, r * LANES)
+    tot_inv = _batch_inv_nz(field, tot).reshape(L, r, LANES)
+    out = _binv_bwd_fn(field, r)(x, P, tot_inv)
+    return out.reshape(L, Bp)[:, :B]
+
+
+def _batch_inv(field, a):
+    """Montgomery block batch inversion on [L, B]; zeros map to zero.
+
+    16-way groups along a leading block axis: the prefix-product and
+    walk-back passes are single Pallas kernels (fori over the group axis with
+    full [R, 128] VPU shapes), block totals recurse; ~3 muls per element and
+    ~8 dispatches per call instead of the sequential host-style scan.
+    """
+    zero_mask = _is_zero_cols(a)
+    onecol = jnp.asarray(_one_col_np(field))
+    a1 = jnp.where(zero_mask[None, :], jnp.broadcast_to(onecol, a.shape), a)
+    out = _batch_inv_nz(field, a1)
+    return jnp.where(zero_mask[None, :], jnp.zeros_like(out), out)
+
+
+def fr_batch_inv(a):
+    return _batch_inv("fr", a)
+
+
+# ---------------------------------------------------------------------------
+# Scans: work-efficient via jax.lax.associative_scan over the Pallas mul
+# ---------------------------------------------------------------------------
+
+
+def fr_prefix_prod(a):
+    return jax.lax.associative_scan(fr_mul, a, axis=1)
+
+
+def fr_suffix_prod(a):
+    return jax.lax.associative_scan(fr_mul, a, axis=1, reverse=True)
+
+
+# ---------------------------------------------------------------------------
+# NTT: radix-2 DIT, batch in lanes, one Pallas butterfly kernel per stage
+# ---------------------------------------------------------------------------
+
+
+@functools.lru_cache(maxsize=None)
+def _bf_kernel():
+    mod, n0 = _FR_MOD, _FR_N0
+    L = FR_L
+
+    def kernel(x_ref, tw_ref, o_ref):
+        lo = [x_ref[i, :, 0] for i in range(L)]     # [NBt, Mt, TB]
+        hi = [x_ref[i, :, 1] for i in range(L)]
+        shape = lo[0].shape
+        j = pl.program_id(1)
+        tw = [jnp.broadcast_to(tw_ref[i, j][None, :, None], shape) for i in range(L)]
+        ht = _mulm(hi, tw, mod, n0)
+        up = _addm(lo, ht, mod)
+        dn = _subm(lo, ht, mod)
+        for i in range(L):
+            o_ref[i, :, 0] = up[i]
+            o_ref[i, :, 1] = dn[i]
+
+    return kernel
+
+
+@functools.lru_cache(maxsize=None)
+def _bitrev_idx(n):
+    logn = n.bit_length() - 1
+    idx = np.arange(n)
+    rev = np.zeros(n, np.int32)
+    for t in range(logn):
+        rev |= ((idx >> t) & 1) << (logn - 1 - t)
+    return rev
+
+
+@functools.lru_cache(maxsize=None)
+def _ntt_tiles(nb, m, B):
+    import math
+
+    # block budget ~2k butterfly pairs: [16, nbt, 2, mt, 128] u32 = 256 KB per
+    # buffer (pallas double-buffers every spec, and the unrolled CIOS temps
+    # live on the scoped-vmem stack; bigger blocks blow the 16 MB limit).
+    # TPU tiling rule: the block's last dim must be a multiple of 128 and its
+    # second-to-last (mt) a multiple of 8 — or equal to the array dim.
+    tb = LANES  # B is always a multiple of LANES
+    mt = min(m, 16)
+    nbt = min(nb, max(1, 2048 // (mt * LANES)))
+    return nbt, mt, tb
+
+
+def _ntt_stage(x, tw, nb, m, B):
+    """One butterfly stage on [16, n, B]; tw [16, m] stage twiddles."""
+    _, mt, _ = _ntt_tiles(nb, m, B)
+    out = _ntt_stage_fn(nb, m, B)(
+        x.reshape(FR_L, nb, 2, m, B), tw.reshape(FR_L, m // mt, mt)
+    )
+    return out.reshape(FR_L, nb * 2 * m, B)
+
+
+@functools.lru_cache(maxsize=None)
+def _ntt_stage_fn(nb, m, B):
+    L = FR_L
+    nbt, mt, tb = _ntt_tiles(nb, m, B)
+    grid = (nb // nbt, m // mt, B // tb)
+    xblk = pl.BlockSpec((L, nbt, 2, mt, tb), lambda i, j, k: (0, i, 0, j, k),
+                        memory_space=pltpu.VMEM)
+    fn = pl.pallas_call(
+        _bf_kernel(),
+        grid=grid,
+        in_specs=[
+            xblk,
+            # whole twiddle table stays resident; the kernel picks its stage
+            # row by program_id (a blocked lane-dim spec would violate the
+            # 128-divisibility tiling rule for small mt)
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=xblk,
+        out_shape=jax.ShapeDtypeStruct((L, nb, 2, m, B), jnp.uint32),
+        interpret=_INTERPRET,
+    )
+    return jax.jit(fn)
+
+
+def fr_ntt(data, pows, scale):
+    """NTT along the last axis.  data [16, batch, n]; pows [16, n] Montgomery
+    twiddles (omega or omega^-1 powers); scale [16, 1] applied at the end.
+
+    Matches native ntt_impl (zk_kernels.cpp): bit-reversed DIT, natural-order
+    input and output.  Batch is moved to the minor (lane) axis so butterfly
+    pairing only ever indexes sublanes.
+    """
+    L, batch, n = data.shape
+    if n == 1:
+        return fr_mul(data.reshape(L, -1), scale).reshape(data.shape)
+    x = jnp.swapaxes(data, 1, 2)  # [L, n, batch]
+    Bp = -(-batch // LANES) * LANES
+    if Bp != batch:
+        x = jnp.pad(x, ((0, 0), (0, 0), (0, Bp - batch)))
+    x = x[:, jnp.asarray(_bitrev_idx(n)), :]
+    m = 1
+    while m < n:
+        step = n // (2 * m)
+        tw = pows[:, :: step][:, :m] if step > 1 else pows[:, :m]
+        x = _ntt_stage(x, tw, n // (2 * m), m, Bp)
+        m *= 2
+    x = x.reshape(L, n, Bp)[:, :, :batch]
+    x = jnp.swapaxes(x, 1, 2)
+    # scale (n^-1 for inverse, one for forward — applied unconditionally,
+    # the forward call passes Montgomery one)
+    return fr_mul(x.reshape(L, -1), scale).reshape(data.shape)
+
+
+# ---------------------------------------------------------------------------
+# Batched affine G1 arithmetic (the TPU-native point representation)
+#
+# Points: (x [24, B], y [24, B], inf [B] uint32 mask).  One batched complete
+# affine addition costs ~7.5 Fq muls per lane (block batch inversion included)
+# versus ~18 for jacobian-jacobian — and 2/3 the HBM traffic.  All special
+# cases (either input infinite, P + (-P), doubling) resolve via selects.
+# ---------------------------------------------------------------------------
+
+
+def _aff_inf(B):
+    z = jnp.zeros((FQ_L, B), jnp.uint32)
+    return (z, z, jnp.ones((B,), jnp.uint32))
+
+
+def _affine_add(p1, p2):
+    x1, y1, i1 = p1
+    x2, y2, i2 = p2
+    dx = fq_sub(x2, x1)
+    dy = fq_sub(y2, y1)
+    xeq = _is_zero_cols(dx)
+    yeq = _is_zero_cols(dy)
+    dbl = xeq & yeq
+    two_y1 = fq_add(y1, y1)
+    x1sq = fq_mul(x1, x1)
+    three_x1sq = fq_add(fq_add(x1sq, x1sq), x1sq)
+    den = jnp.where(dbl[None, :], two_y1, dx)
+    num = jnp.where(dbl[None, :], three_x1sq, dy)
+    den_inv = _batch_inv("fq", den)
+    lam = fq_mul(num, den_inv)
+    lam2 = fq_mul(lam, lam)
+    x3 = fq_sub(fq_sub(lam2, x1), x2)
+    y3 = fq_sub(fq_mul(lam, fq_sub(x1, x3)), y1)
+    b1 = i1.astype(bool)
+    b2 = i2.astype(bool)
+    res_inf = (~b1) & (~b2) & xeq & (~yeq)
+    ox = jnp.where(b1[None, :], x2, jnp.where(b2[None, :], x1, x3))
+    oy = jnp.where(b1[None, :], y2, jnp.where(b2[None, :], y1, y3))
+    oinf = ((b1 & b2) | res_inf).astype(jnp.uint32)
+    ox = jnp.where(oinf[None, :].astype(bool), jnp.zeros_like(ox), ox)
+    oy = jnp.where(oinf[None, :].astype(bool), jnp.zeros_like(oy), oy)
+    return ox, oy, oinf
+
+
+def _affine_tree_sum(p):
+    """Reduce (x [24, n], y, inf [n]) to a single-column point by halving."""
+    x, y, inf = p
+    n = x.shape[1]
+    while n > 1:
+        if n % 2 == 1:
+            ix, iy, ii = _aff_inf(1)
+            x = jnp.concatenate([x, ix], axis=1)
+            y = jnp.concatenate([y, iy], axis=1)
+            inf = jnp.concatenate([inf, ii])
+            n += 1
+        h = n // 2
+        x, y, inf = _affine_add(
+            (x[:, :h], y[:, :h], inf[:h]), (x[:, h:], y[:, h:], inf[h:])
+        )
+        n = h
+    return x, y, inf
+
+
+def _aff_to_host(x, y, inf):
+    """Device affine columns -> list of host ((x, y) ints or None)."""
+    xs = np.asarray(x)
+    ys = np.asarray(y)
+    infs = np.asarray(inf).astype(bool)
+    out = []
+    for i in range(xs.shape[1]):
+        if infs[i]:
+            out.append(None)
+        else:
+            out.append(
+                (
+                    FQ.from_mont(FQ.from_limbs(xs[:, i])),
+                    FQ.from_mont(FQ.from_limbs(ys[:, i])),
+                )
+            )
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Jacobian G1 API (g1_add / g1_dbl / g1_to_affine) — matches native semantics
+# ---------------------------------------------------------------------------
+
+
+def _jac_is_inf(z):
+    return _is_zero_cols(z)
+
+
+def _jac_inf_like(x):
+    one = jnp.broadcast_to(jnp.asarray(_one_col_np("fq")), x.shape)
+    return one, one, jnp.zeros_like(x)
+
+
+def _g1_dbl_core(X, Y, Z):
+    """dbl-2009-l (as in zk_kernels.cpp g1_dbl)."""
+    A = fq_mul(X, X)
+    Bv = fq_mul(Y, Y)
+    C = fq_mul(Bv, Bv)
+    t = fq_add(X, Bv)
+    t = fq_mul(t, t)
+    t = fq_sub(t, A)
+    D = fq_sub(t, C)
+    D = fq_add(D, D)
+    E = fq_add(fq_add(A, A), A)
+    F = fq_mul(E, E)
+    X3 = fq_sub(F, fq_add(D, D))
+    C2 = fq_add(C, C)
+    C4 = fq_add(C2, C2)
+    C8 = fq_add(C4, C4)
+    Y3 = fq_sub(fq_mul(E, fq_sub(D, X3)), C8)
+    YZ = fq_mul(Y, Z)
+    Z3 = fq_add(YZ, YZ)
+    return X3, Y3, Z3
+
+
+def g1_dbl(p):
+    X, Y, Z = (c.reshape(FQ_L, -1) for c in p)
+    X3, Y3, Z3 = _g1_dbl_core(X, Y, Z)
+    inf = _jac_is_inf(Z)
+    iX, iY, iZ = _jac_inf_like(X)
+    m = inf[None, :]
+    out = (
+        jnp.where(m, iX, X3).reshape(p[0].shape),
+        jnp.where(m, iY, Y3).reshape(p[1].shape),
+        jnp.where(m, iZ, Z3).reshape(p[2].shape),
+    )
+    return out
+
+
+def g1_add(p, q, rep=1):
+    shape = p[0].shape
+    X1, Y1, Z1 = (c.reshape(FQ_L, -1) for c in p)
+    X2, Y2, Z2 = (c.reshape(FQ_L, -1) for c in q)
+    Ba, Bb = X1.shape[1], X2.shape[1]
+    if Bb != Ba:
+        idx = (jnp.arange(Ba) // rep) % Bb
+        X2, Y2, Z2 = X2[:, idx], Y2[:, idx], Z2[:, idx]
+    # add-2007-bl (as in zk_kernels.cpp g1_add)
+    Z1Z1 = fq_mul(Z1, Z1)
+    Z2Z2 = fq_mul(Z2, Z2)
+    U1 = fq_mul(X1, Z2Z2)
+    U2 = fq_mul(X2, Z1Z1)
+    S1 = fq_mul(Y1, fq_mul(Z2, Z2Z2))
+    S2 = fq_mul(Y2, fq_mul(Z1, Z1Z1))
+    H = fq_sub(U2, U1)
+    R = fq_sub(S2, S1)
+    HH = fq_mul(H, H)
+    HHH = fq_mul(H, HH)
+    V = fq_mul(U1, HH)
+    RR = fq_mul(R, R)
+    X3 = fq_sub(fq_sub(fq_sub(RR, HHH), V), V)
+    Y3 = fq_sub(fq_mul(R, fq_sub(V, X3)), fq_mul(S1, HHH))
+    Z3 = fq_mul(fq_mul(Z1, Z2), H)
+    # special cases
+    dX, dY, dZ = _g1_dbl_core(X1, Y1, Z1)
+    inf1 = _jac_is_inf(Z1)
+    inf2 = _jac_is_inf(Z2)
+    h0 = _is_zero_cols(H)
+    r0 = _is_zero_cols(R)
+    iX, iY, iZ = _jac_inf_like(X1)
+
+    def sel(cond, a, b):
+        return jnp.where(cond[None, :], a, b)
+
+    use_dbl = (~inf1) & (~inf2) & h0 & r0
+    use_inf = (~inf1) & (~inf2) & h0 & (~r0)
+    oX = sel(inf1, X2, sel(inf2, X1, sel(use_dbl, dX, sel(use_inf, iX, X3))))
+    oY = sel(inf1, Y2, sel(inf2, Y1, sel(use_dbl, dY, sel(use_inf, iY, Y3))))
+    oZ = sel(inf1, Z2, sel(inf2, Z1, sel(use_dbl, dZ, sel(use_inf, iZ, Z3))))
+    return oX.reshape(shape), oY.reshape(shape), oZ.reshape(shape)
+
+
+def g1_to_affine(p):
+    X, Y, Z = (c.reshape(FQ_L, -1) for c in p)
+    zinv = _batch_inv("fq", Z)  # 0 -> 0, so inf lanes come out (0, 0)
+    zi2 = fq_mul(zinv, zinv)
+    x = fq_mul(X, zi2)
+    y = fq_mul(Y, fq_mul(zi2, zinv))
+    inf = _jac_is_inf(Z).astype(jnp.uint32)
+    return x.reshape(p[0].shape), y.reshape(p[1].shape), inf
+
+
+# ---------------------------------------------------------------------------
+# Pippenger MSM (sort + leftover-flush merge tree, all-affine)
+# ---------------------------------------------------------------------------
+
+_WBITS = 16  # one 16-bit limb per window
+_NB = 1 << _WBITS
+_DUMMY = _NB  # overflow bucket for non-leftover scatter lanes
+
+
+def _scatter_row(keys, x, y, inf):
+    """Scatter (x, y, inf) into a fresh [24, NB+1] bucket row (unique keys)."""
+    rx = jnp.zeros((FQ_L, _NB + 1), jnp.uint32)
+    ry = jnp.zeros((FQ_L, _NB + 1), jnp.uint32)
+    rinf = jnp.ones((_NB + 1,), jnp.uint32)
+    rx = rx.at[:, keys].set(x)
+    ry = ry.at[:, keys].set(y)
+    rinf = rinf.at[keys].set(inf)
+    return rx, ry, rinf
+
+
+def _msm_window(digits, px, py, pinf):
+    """One Pippenger window.  Returns [(weight, x, y, inf)] single-column
+    device points whose weighted host sum is the window value.
+
+    Bucket accumulation = sorted merge tree: each level pairs adjacent
+    entries; same-key pairs merge with one batched affine add, boundary pairs
+    flush the left partial into that level's bucket row (sortedness
+    guarantees at most one flush per bucket per level, so scatter-set is
+    conflict-free).  Point work: exactly N-1 adds per window — the minimum.
+    """
+    N = digits.shape[0]
+    n = 1 << (N - 1).bit_length()
+    key = jnp.pad(digits, (0, n - N), constant_values=_DUMMY)
+    key = jnp.where(
+        jnp.pad(pinf, (0, n - N), constant_values=1).astype(bool), _DUMMY, key
+    )
+    order = jnp.argsort(key)
+    key = key[order]
+    x = jnp.pad(px, ((0, 0), (0, n - N)))[:, order]
+    y = jnp.pad(py, ((0, 0), (0, n - N)))[:, order]
+    inf = jnp.pad(pinf, (0, n - N), constant_values=1)[order].astype(jnp.uint32)
+
+    bx, by, binf = _aff_inf(_NB + 1)
+    while n > 1:
+        kl, kr = key[0::2], key[1::2]
+        left = (x[:, 0::2], y[:, 0::2], inf[0::2])
+        right = (x[:, 1::2], y[:, 1::2], inf[1::2])
+        same = kl == kr
+        mx, my, minf = _affine_add(left, right)
+        x = jnp.where(same[None, :], mx, right[0])
+        y = jnp.where(same[None, :], my, right[1])
+        inf = jnp.where(same, minf, right[2])
+        key = kr
+        lk = jnp.where(same, _DUMMY, kl)
+        linf = jnp.where(same, jnp.uint32(1), left[2])
+        rx, ry, rinf = _scatter_row(lk, left[0], left[1], linf)
+        bx, by, binf = _affine_add((bx, by, binf), (rx, ry, rinf))
+        n //= 2
+    # final survivor
+    fk = jnp.where(inf.astype(bool), _DUMMY, key)
+    rx, ry, rinf = _scatter_row(fk, x, y, inf)
+    bx, by, binf = _affine_add((bx, by, binf), (rx, ry, rinf))
+
+    # weighted bucket sum T = sum_b b * B_b over buckets 0.._NB-1
+    # (bucket 0 has weight 0; the DUMMY bucket is sliced off):
+    # pair halving: T(B) = 2*T(B_even + B_odd) + sum(B_odd)
+    bx, by, binf = bx[:, :_NB], by[:, :_NB], binf[:_NB]
+    singles = []
+    nb = _NB
+    level = 0
+    while nb > 1:
+        ev = (bx[:, 0::2], by[:, 0::2], binf[0::2])
+        od = (bx[:, 1::2], by[:, 1::2], binf[1::2])
+        sx, sy, sinf = _affine_tree_sum(od)
+        singles.append((1 << level, sx, sy, sinf))
+        bx, by, binf = _affine_add(ev, od)
+        nb //= 2
+        level += 1
+    return singles
+
+
+def g1_msm(scalars, px, py, pinf):
+    """Full MSM -> jacobian [3, 24] u32 rows (matches native G1Msm).
+
+    Device work: 16 windows x (argsort + N batched affine adds + bucket
+    halving); the ~16x16 weighted single points are pulled to the host once
+    and combined exactly (host/curve.py) — the same split as the reference,
+    which runs its Fiat-Shamir/"tiny sequential tail" work on CPU.
+    """
+    from ..host.curve import G1
+
+    pinf = pinf.astype(jnp.uint32)
+    weights = []
+    cols_x, cols_y, cols_i = [], [], []
+    for wi in range(FR_L):
+        digits = scalars[wi, :].astype(jnp.uint32)
+        singles = _msm_window(digits, px, py, pinf)
+        for w, sx, sy, sinf in singles:
+            weights.append((1 << (_WBITS * wi)) * w)
+            cols_x.append(sx)
+            cols_y.append(sy)
+            cols_i.append(sinf)
+    allx = jnp.concatenate(cols_x, axis=1)
+    ally = jnp.concatenate(cols_y, axis=1)
+    alli = jnp.concatenate(cols_i)
+    pts = _aff_to_host(allx, ally, alli)
+    total = G1.msm_affine(weights, pts)  # jacobian host tuple
+    X, Y, Z = total
+    rows = np.zeros((3, FQ_L), np.uint32)
+    rows[0] = FQ.to_limbs(FQ.to_mont(X))
+    rows[1] = FQ.to_limbs(FQ.to_mont(Y))
+    rows[2] = FQ.to_limbs(FQ.to_mont(Z))
+    return jnp.asarray(rows)
+
+
+def g1_fixed_base(scalars, gen):
+    """out[i] = k[i] * G for one shared affine G (CRS generation workhorse).
+
+    The 32x256 window table is built on the host with exact ints (8k point
+    ops, setup-path only), then applied as 32 batched gather + affine adds.
+    Returns jacobian arrays like the native kernel (Z in {0, 1} here; callers
+    normalize via to_affine, so representations may differ across backends).
+    """
+    from ..host.curve import G1
+
+    genh = np.asarray(gen)
+    gx = FQ.from_mont(FQ.from_limbs(genh[:, 0]))
+    gy = FQ.from_mont(FQ.from_limbs(genh[:, 1]))
+    W, NWIN, TBL = 8, 32, 256
+    base = G1.from_affine((gx, gy))
+    tx = np.zeros((FQ_L, NWIN, TBL), np.uint32)
+    ty = np.zeros((FQ_L, NWIN, TBL), np.uint32)
+    tinf = np.ones((NWIN, TBL), np.uint32)
+    for wi in range(NWIN):
+        acc = G1.infinity()
+        for d in range(1, TBL):
+            acc = G1.add(acc, base)
+            ax, ay = G1.to_affine(acc)
+            tx[:, wi, d] = FQ.to_limbs(FQ.to_mont(ax))
+            ty[:, wi, d] = FQ.to_limbs(FQ.to_mont(ay))
+            tinf[wi, d] = 0
+        for _ in range(W):
+            base = G1.double(base)
+    txd, tyd, tinfd = jnp.asarray(tx), jnp.asarray(ty), jnp.asarray(tinf)
+    B = scalars.shape[1]
+    ax, ay, ainf = _aff_inf(B)
+    for wi in range(NWIN):
+        d = (scalars[wi // 2, :] >> (8 * (wi % 2))) & jnp.uint32(0xFF)
+        pxw = txd[:, wi, d]
+        pyw = tyd[:, wi, d]
+        piw = tinfd[wi, d]
+        ax, ay, ainf = _affine_add((ax, ay, ainf), (pxw, pyw, piw))
+    one = jnp.broadcast_to(jnp.asarray(_one_col_np("fq")), ax.shape)
+    Z = jnp.where(ainf[None, :].astype(bool), jnp.zeros_like(one), one)
+    iswap = ainf[None, :].astype(bool)
+    X = jnp.where(iswap, one, ax)
+    Y = jnp.where(iswap, one, ay)
+    return X, Y, Z
