@@ -964,7 +964,7 @@ def g1_fixed_base(scalars, gen):
     ty = np.zeros((FQ_L, NWIN, TBL), np.uint32)
     tinf = np.ones((NWIN, TBL), np.uint32)
     for wi in range(NWIN):
-        acc = G1.infinity()
+        acc = G1.infinity
         for d in range(1, TBL):
             acc = G1.add(acc, base)
             ax, ay = G1.to_affine(acc)

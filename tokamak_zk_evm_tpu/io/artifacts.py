@@ -1,0 +1,304 @@
+"""Reference artifact I/O — the file contract between pipeline stages.
+
+The reference's layers communicate exclusively through files (SURVEY.md §1):
+the synthesizer emits `placementVariables.json`, `instance.json`,
+`permutation.json`; the qap-compiler library dir carries `setupParams.json`,
+`subcircuitInfo.json` and binary circom `.r1cs` files; the prover emits
+`proof.json` in the Solidity-verifier split-limb format.  This module reads
+and writes those exact formats into this framework's protocol dataclasses,
+replacing the reference's `libs/src/iotools/mod.rs` (JSON serde macros :45,
+HexString :128-158, SetupParams :167, PlacementVariables :367, Instance :400,
+Permutation :409, SubcircuitInfo :459, binary R1CS parser :492-700,
+split_g1 Solidity formatting :1625-1700) — reimplemented from the observed
+format, not translated.
+"""
+
+from __future__ import annotations
+
+import json
+import struct
+
+from ..fields import R_MOD
+from ..models.protocol import (
+    Instance,
+    PermutationEntry,
+    Placement,
+    Proof,
+    Proof0,
+    Proof1,
+    Proof2,
+    Proof3,
+    Proof4,
+    Binding,
+    SetupParams,
+    SubcircuitInfo,
+    SubcircuitR1CS,
+)
+
+
+def parse_hex(s: str) -> int:
+    """HexString semantics (`iotools/mod.rs:128-158`): odd-nibble inputs are
+    zero-padded on the left; value is big-endian hex."""
+    if s.startswith(("0x", "0X")):
+        s = s[2:]
+    if s == "":
+        return 0
+    return int(s, 16)
+
+
+# ---------------------------------------------------------------------------
+# JSON artifact loaders
+
+
+def load_setup_params(path: str) -> SetupParams:
+    """`setupParams.json` (`iotools/mod.rs:167-178`)."""
+    with open(path) as f:
+        d = json.load(f)
+    return SetupParams(
+        l_free=d["l_free"], l=d["l"], l_user_out=d["l_user_out"],
+        l_user=d["l_user"], l_D=d["l_D"], m_D=d["m_D"], n=d["n"],
+        s_D=d["s_D"], s_max=d["s_max"],
+    )
+
+
+def load_subcircuit_infos(path: str) -> list[SubcircuitInfo]:
+    """`subcircuitInfo.json` (`iotools/mod.rs:459-469`)."""
+    with open(path) as f:
+        arr = json.load(f)
+    return [
+        SubcircuitInfo(
+            id=d["id"], name=d["name"], Nwires=d["Nwires"],
+            Out_idx=tuple(d["Out_idx"]), In_idx=tuple(d["In_idx"]),
+            flattenMap=list(d["flattenMap"]),
+        )
+        for d in arr
+    ]
+
+
+def load_placement_variables(path: str) -> list[Placement]:
+    """`placementVariables.json` (`iotools/mod.rs:367-372`): array of
+    {subcircuitId, variables: [hex]}."""
+    with open(path) as f:
+        arr = json.load(f)
+    return [
+        Placement(
+            subcircuit_id=d["subcircuitId"],
+            variables=[parse_hex(v) % R_MOD for v in d["variables"]],
+        )
+        for d in arr
+    ]
+
+
+def load_instance(path: str) -> Instance:
+    """`instance.json` (`iotools/mod.rs:400-407`)."""
+    with open(path) as f:
+        d = json.load(f)
+    return Instance(
+        a_pub_user=[parse_hex(v) % R_MOD for v in d["a_pub_user"]],
+        a_pub_block=[parse_hex(v) % R_MOD for v in d["a_pub_block"]],
+        a_pub_function=[parse_hex(v) % R_MOD for v in d["a_pub_function"]],
+    )
+
+
+def load_permutation(path: str) -> list[PermutationEntry]:
+    """`permutation.json` (`iotools/mod.rs:409-416`)."""
+    with open(path) as f:
+        arr = json.load(f)
+    return [
+        PermutationEntry(row=d["row"], col=d["col"], X=d["X"], Y=d["Y"])
+        for d in arr
+    ]
+
+
+# ---------------------------------------------------------------------------
+# Binary circom R1CS parser
+
+
+def parse_r1cs(path: str, prime: int = R_MOD) -> tuple[SubcircuitR1CS, dict]:
+    """Parse a circom binary `.r1cs` file into sparse column form.
+
+    Format (observed in `iotools/mod.rs:515-650` and the public circom
+    spec): magic "r1cs", u32 version (=1), u32 section count; sections of
+    (u32 type, u64 size).  Section 1 header: u32 field_size, prime bytes LE,
+    u32 nWires, u32 nPubOut, u32 nPubIn, u32 nPrvIn, u64 nLabels,
+    u32 mConstraints.  Section 2 constraints: per row, three linear
+    combinations (A, B, C), each u32 nnz then nnz x (u32 wire, field_size
+    bytes LE coeff).
+
+    Returns (SubcircuitR1CS with wire -> [(row, coeff)] columns, header meta).
+    """
+    with open(path, "rb") as f:
+        data = f.read()
+    if data[:4] != b"r1cs":
+        raise ValueError(f"{path}: bad R1CS magic {data[:4]!r}")
+    version, nsec = struct.unpack_from("<II", data, 4)
+    if version != 1:
+        raise ValueError(f"{path}: unsupported R1CS version {version}")
+    off = 12
+    sections: dict[int, tuple[int, int]] = {}
+    for _ in range(nsec):
+        styp, ssize = struct.unpack_from("<IQ", data, off)
+        off += 12
+        sections[styp] = (off, ssize)
+        off += ssize
+    if 1 not in sections or 2 not in sections:
+        raise ValueError(f"{path}: missing header/constraints section")
+
+    hoff, _hsize = sections[1]
+    (fs,) = struct.unpack_from("<I", data, hoff)
+    hoff += 4
+    file_prime = int.from_bytes(data[hoff:hoff + fs], "little")
+    if file_prime != prime:
+        raise ValueError(f"{path}: R1CS prime does not match expected field")
+    hoff += fs
+    n_wires, n_pub_out, n_pub_in, n_prv_in = struct.unpack_from("<IIII", data, hoff)
+    hoff += 16
+    (n_labels,) = struct.unpack_from("<Q", data, hoff)
+    hoff += 8
+    (n_constraints,) = struct.unpack_from("<I", data, hoff)
+
+    coff, csize = sections[2]
+    end = coff + csize
+    cols: tuple[dict, dict, dict] = ({}, {}, {})
+    off = coff
+    for row in range(n_constraints):
+        for mat in range(3):
+            (nnz,) = struct.unpack_from("<I", data, off)
+            off += 4
+            col = cols[mat]
+            for _ in range(nnz):
+                (wire,) = struct.unpack_from("<I", data, off)
+                off += 4
+                coeff = int.from_bytes(data[off:off + fs], "little") % prime
+                off += fs
+                if wire >= n_wires:
+                    raise ValueError(f"{path}: wire {wire} >= nWires {n_wires}")
+                col.setdefault(wire, []).append((row, coeff))
+    if off != end:
+        raise ValueError(f"{path}: {end - off} trailing constraint bytes")
+
+    meta = {
+        "field_size": fs, "n_wires": n_wires, "n_pub_out": n_pub_out,
+        "n_pub_in": n_pub_in, "n_prv_in": n_prv_in, "n_labels": n_labels,
+        "n_constraints": n_constraints,
+    }
+    return SubcircuitR1CS(A_cols=cols[0], B_cols=cols[1], C_cols=cols[2]), meta
+
+
+def load_library(library_dir: str) -> tuple[SetupParams, list[SubcircuitInfo], list[SubcircuitR1CS]]:
+    """Load a full qap-compiler library dir: `setupParams.json`,
+    `subcircuitInfo.json`, and `r1cs/subcircuit{i}.r1cs` for each subcircuit
+    (layout of `packages/frontend/qap-compiler/subcircuits/library/`)."""
+    import os
+
+    params = load_setup_params(os.path.join(library_dir, "setupParams.json"))
+    infos = load_subcircuit_infos(os.path.join(library_dir, "subcircuitInfo.json"))
+    library = []
+    for info in infos:
+        r1cs, meta = parse_r1cs(os.path.join(library_dir, "r1cs", f"subcircuit{info.id}.r1cs"))
+        if meta["n_wires"] != info.Nwires:
+            raise ValueError(
+                f"subcircuit{info.id}: r1cs nWires {meta['n_wires']} != info {info.Nwires}"
+            )
+        library.append(r1cs)
+    return params, infos, library
+
+
+# ---------------------------------------------------------------------------
+# Solidity-format proof.json (split-limb G1 encoding)
+
+_G1_ORDER = (
+    ("proof0", "U"), ("proof0", "V"), ("proof0", "W"),
+    ("binding", "O_mid"), ("binding", "O_prv"),
+    ("proof0", "Q_AX"), ("proof0", "Q_AY"),
+    ("proof2", "Q_CX"), ("proof2", "Q_CY"),
+    ("proof4", "Pi_X"), ("proof4", "Pi_Y"),
+    ("proof0", "B"), ("proof1", "R"),
+    ("proof4", "M_Y"), ("proof4", "M_X"),
+    ("proof4", "N_Y"), ("proof4", "N_X"),
+    ("binding", "O_pub_free"), ("binding", "A_free"),
+)
+
+_SCALAR_ORDER = ("R_eval", "R_omegaX_eval", "R_omegaX_omegaY_eval", "V_eval")
+
+
+def _split_fq(v: int) -> tuple[str, str]:
+    """48-byte big-endian Fq split into 16-byte + 32-byte hex limbs
+    (`iotools/mod.rs:1625-1650` split_g1)."""
+    b = int(v).to_bytes(48, "big")
+    return "0x" + b[:16].hex(), "0x" + b[16:].hex()
+
+
+def _join_fq(p1: str, p2: str) -> int:
+    b = bytes.fromhex(p1[2:]) + bytes.fromhex(p2[2:])
+    assert len(b) == 48
+    return int.from_bytes(b, "big")
+
+
+def proof_to_solidity(proof: Proof) -> dict:
+    """FormattedProof (`prove/src/lib.rs:453-524`): 19 G1 points as
+    (part1, part2) limb pairs per coordinate, then 4 scalar evaluations
+    appended to part2 only."""
+    part1: list[str] = []
+    part2: list[str] = []
+    for sect, name in _G1_ORDER:
+        p = getattr(getattr(proof, sect), name)
+        x, y = (0, 0) if p is None else (p[0], p[1])
+        for coord in (x, y):
+            a, b = _split_fq(coord)
+            part1.append(a)
+            part2.append(b)
+    for name in _SCALAR_ORDER:
+        v = getattr(proof.proof3, name)
+        part2.append("0x" + int(v).to_bytes(32, "big").hex())
+    return {"proof_entries_part1": part1, "proof_entries_part2": part2}
+
+
+def proof_from_solidity(d: dict) -> Proof:
+    """Inverse of `proof_to_solidity` (`prove/src/lib.rs:526-584`)."""
+    p1 = d["proof_entries_part1"]
+    p2 = d["proof_entries_part2"]
+    n_g1 = len(_G1_ORDER)
+    assert len(p1) == 2 * n_g1, f"expected {2*n_g1} part1 limbs"
+    assert len(p2) == 2 * n_g1 + len(_SCALAR_ORDER)
+    pts = {}
+    for i, (sect, name) in enumerate(_G1_ORDER):
+        x = _join_fq(p1[2 * i], p2[2 * i])
+        y = _join_fq(p1[2 * i + 1], p2[2 * i + 1])
+        pts[(sect, name)] = None if (x == 0 and y == 0) else (x, y)
+    scalars = [parse_hex(s) % R_MOD for s in p2[2 * n_g1:]]
+
+    def g(sect, name):
+        return pts[(sect, name)]
+
+    return Proof(
+        binding=Binding(
+            A_free=g("binding", "A_free"), O_pub_free=g("binding", "O_pub_free"),
+            O_mid=g("binding", "O_mid"), O_prv=g("binding", "O_prv"),
+        ),
+        proof0=Proof0(
+            U=g("proof0", "U"), V=g("proof0", "V"), W=g("proof0", "W"),
+            Q_AX=g("proof0", "Q_AX"), Q_AY=g("proof0", "Q_AY"), B=g("proof0", "B"),
+        ),
+        proof1=Proof1(R=g("proof1", "R")),
+        proof2=Proof2(Q_CX=g("proof2", "Q_CX"), Q_CY=g("proof2", "Q_CY")),
+        proof3=Proof3(
+            R_eval=scalars[0], R_omegaX_eval=scalars[1],
+            R_omegaX_omegaY_eval=scalars[2], V_eval=scalars[3],
+        ),
+        proof4=Proof4(
+            Pi_X=g("proof4", "Pi_X"), Pi_Y=g("proof4", "Pi_Y"),
+            M_X=g("proof4", "M_X"), M_Y=g("proof4", "M_Y"),
+            N_X=g("proof4", "N_X"), N_Y=g("proof4", "N_Y"),
+        ),
+    )
+
+
+def save_proof_solidity(proof: Proof, path: str):
+    with open(path, "w") as f:
+        json.dump(proof_to_solidity(proof), f, indent=2)
+
+
+def load_proof_solidity(path: str) -> Proof:
+    with open(path) as f:
+        return proof_from_solidity(json.load(f))
