@@ -1,0 +1,84 @@
+"""CLI end-to-end: materialize the toy fixture as reference-layout files,
+then drive setup -> preprocess -> prove -> verify through the CLI."""
+
+import os
+
+import pytest
+
+from tokamak_zk_evm_tpu.cli import main
+from tokamak_zk_evm_tpu.io import artifacts as art
+from tokamak_zk_evm_tpu.testing.fixtures import build_fixture
+
+
+@pytest.fixture(scope="module")
+def staged(tmp_path_factory):
+    root = tmp_path_factory.mktemp("cli_e2e")
+    fx = build_fixture()
+    lib = str(root / "library")
+    synth = str(root / "synthesizer")
+    os.makedirs(synth, exist_ok=True)
+    art.save_library(lib, fx.params, fx.infos, fx.library)
+    art.save_placement_variables(fx.placements, os.path.join(synth, "placementVariables.json"))
+    art.save_instance(fx.instance, os.path.join(synth, "instance.json"))
+    art.save_permutation(fx.permutation, os.path.join(synth, "permutation.json"))
+    return root, lib, synth, fx
+
+
+def test_library_round_trip(staged):
+    _root, lib, _synth, fx = staged
+    params, infos, library = art.load_library(lib)
+    assert params == fx.params
+    assert [i.flattenMap for i in infos] == [i.flattenMap for i in fx.infos]
+    for orig, rt in zip(fx.library, library):
+        for a, b in ((orig.A_cols, rt.A_cols), (orig.B_cols, rt.B_cols),
+                     (orig.C_cols, rt.C_cols)):
+            assert {w: sorted(c) for w, c in a.items() if c} == \
+                   {w: sorted(c) for w, c in b.items() if c}
+
+
+def test_cli_pipeline(staged, capsys):
+    root, lib, synth, _fx = staged
+    crs = str(root / "crs")
+    pre = str(root / "pre")
+    prf = str(root / "proof")
+
+    assert main(["setup", "--library", lib, "--output", crs, "--fixed-tau"]) == 0
+    assert main(["preprocess", "--crs", crs, "--library", lib,
+                 "--synthesizer", synth, "--output", pre]) == 0
+    assert main(["prove", "--crs", crs, "--library", lib,
+                 "--synthesizer", synth, "--output", prf,
+                 "--deterministic"]) == 0
+    assert os.path.isfile(os.path.join(prf, "proof.json"))
+    rc = main(["verify", "--crs", crs, "--library", lib, "--preprocess", pre,
+               "--proof", prf, "--synthesizer", synth])
+    out = capsys.readouterr().out.strip().splitlines()[-1]
+    assert rc == 0 and out == "true"
+
+
+def test_cli_verify_rejects_tampered(staged, capsys):
+    root, lib, synth, _fx = staged
+    crs = str(root / "crs")
+    pre = str(root / "pre")
+    prf = str(root / "proof")
+    import json
+
+    p = os.path.join(prf, "proof.json")
+    with open(p) as f:
+        d = json.load(f)
+    bad = dict(d)
+    # corrupt the final scalar evaluation (V_eval)
+    bad["proof_entries_part2"] = list(d["proof_entries_part2"])
+    bad["proof_entries_part2"][-1] = "0x" + "01".rjust(64, "0")
+    bad_dir = str(root / "proof_bad")
+    os.makedirs(bad_dir, exist_ok=True)
+    with open(os.path.join(bad_dir, "proof.json"), "w") as f:
+        json.dump(bad, f)
+    rc = main(["verify", "--crs", crs, "--library", lib, "--preprocess", pre,
+               "--proof", bad_dir, "--synthesizer", synth])
+    out = capsys.readouterr().out.strip().splitlines()[-1]
+    assert rc == 1 and out == "false"
+
+
+def test_cli_doctor(capsys):
+    assert main(["doctor"]) == 0
+    assert capsys.readouterr().out.strip().splitlines()[-1] == "true"

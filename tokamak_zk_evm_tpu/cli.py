@@ -1,0 +1,186 @@
+"""Command-line pipeline driver — the framework's `tokamak-cli` equivalent.
+
+Mirrors the reference CLI's stage commands (`packages/cli/src/cli.ts:122-171`)
+and backend binaries (`packages/backend/README.md:6-14`) over the same file
+contract:
+
+    python -m tokamak_zk_evm_tpu setup      --library DIR --output DIR [--fixed-tau]
+    python -m tokamak_zk_evm_tpu preprocess --crs DIR --library DIR --synthesizer DIR --output DIR
+    python -m tokamak_zk_evm_tpu prove      --crs DIR --library DIR --synthesizer DIR --output DIR [--deterministic]
+    python -m tokamak_zk_evm_tpu verify     --crs DIR --library DIR --preprocess DIR --proof DIR --synthesizer DIR
+    python -m tokamak_zk_evm_tpu doctor
+
+`--synthesizer DIR` holds the synthesizer outputs (`placementVariables.json`,
+`instance.json`, `permutation.json` — `synthesizer/README.md:26-41`);
+`--library DIR` is a qap-compiler library dir (`subcircuits/library` layout).
+`verify` prints `true`/`false` like the reference verifier (`verify-rust/
+src/main.rs`).  No install step: there is no external runtime to download —
+JAX is the device backend.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+
+def _log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def _load_synthesizer_outputs(d: str):
+    from .io import artifacts as art
+
+    placements = art.load_placement_variables(os.path.join(d, "placementVariables.json"))
+    instance = art.load_instance(os.path.join(d, "instance.json"))
+    permutation = art.load_permutation(os.path.join(d, "permutation.json"))
+    return placements, instance, permutation
+
+
+def cmd_setup(args) -> int:
+    from .io import artifacts as art, crs
+    from .models.setup import Tau, generate_sigma
+
+    params, infos, library = art.load_library(args.library)
+    if args.fixed_tau:
+        tau = Tau.fixed()
+    else:
+        import numpy as np
+
+        tau = Tau.random(np.random.default_rng())
+    t0 = time.time()
+    sigma = generate_sigma(params, tau, library, infos)
+    _log(f"[setup] sigma generated in {time.time() - t0:.1f}s")
+    crs.save_sigma(sigma, args.output)
+    _log(f"[setup] CRS written to {args.output}")
+    return 0
+
+
+def cmd_preprocess(args) -> int:
+    from .io import artifacts as art, crs
+    from .models.preprocess import preprocess
+
+    params, _infos, _library = art.load_library(args.library)
+    sigma = crs.load_sigma(args.crs)
+    _placements, instance, permutation = _load_synthesizer_outputs(args.synthesizer)
+    t0 = time.time()
+    pre = preprocess(sigma, permutation, instance, params)
+    _log(f"[preprocess] done in {time.time() - t0:.1f}s")
+    os.makedirs(args.output, exist_ok=True)
+    out = os.path.join(args.output, "preprocess.json")
+    art.save_preprocess_solidity(pre, out)
+    _log(f"[preprocess] written to {out}")
+    return 0
+
+
+def cmd_prove(args) -> int:
+    import numpy as np
+
+    from .io import artifacts as art, crs
+    from .models.protocol import Mixer
+    from .models.prover import Prover
+
+    params, infos, library = art.load_library(args.library)
+    sigma = crs.load_sigma(args.crs)
+    placements, instance, permutation = _load_synthesizer_outputs(args.synthesizer)
+    mixer = Mixer.zero() if args.deterministic else Mixer.random(np.random.default_rng())
+    t0 = time.time()
+    prover = Prover(
+        params, sigma, library, infos, placements, permutation, instance, mixer=mixer
+    )
+    proof, _proof4t = prover.prove()
+    _log(f"[prove] done in {time.time() - t0:.1f}s")
+    os.makedirs(args.output, exist_ok=True)
+    out = os.path.join(args.output, "proof.json")
+    art.save_proof_solidity(proof, out)
+    _log(f"[prove] written to {out}")
+    return 0
+
+
+def cmd_verify(args) -> int:
+    from .io import artifacts as art, crs
+    from .models.verifier import Verifier
+
+    params, _infos, _library = art.load_library(args.library)
+    sigma = crs.load_sigma(args.crs)
+    pre = art.load_preprocess_solidity(os.path.join(args.preprocess, "preprocess.json"))
+    proof = art.load_proof_solidity(os.path.join(args.proof, "proof.json"))
+    instance = art.load_instance(os.path.join(args.synthesizer, "instance.json"))
+    ok = Verifier(params, sigma, pre, instance, proof).verify_snark()
+    print("true" if ok else "false")
+    return 0 if ok else 1
+
+
+def cmd_doctor(_args) -> int:
+    """Health check (`tokamak-cli --doctor`): platform, devices, kernels."""
+    import jax
+
+    devs = jax.devices()
+    _log(f"[doctor] jax {jax.__version__}; platform={devs[0].platform}; devices={len(devs)}")
+    from .backend.api import backend_kind
+
+    _log(f"[doctor] compute backend: {backend_kind()}")
+    from .fields import R_MOD
+    from .ops import field as F
+    import numpy as np
+
+    a = F.pack_fr([[(R_MOD - 1)]])
+    out = F.unpack_fr(np.asarray(F.mul(a, a)))[0][0]
+    ok = out == 1
+    _log(f"[doctor] field self-test (r-1)^2 == 1: {ok}")
+    print("true" if ok else "false")
+    return 0 if ok else 1
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="tokamak_zk_evm_tpu",
+        description="TPU-native Tokamak zk-SNARK pipeline",
+    )
+    sub = p.add_subparsers(dest="command", required=True)
+
+    s = sub.add_parser("setup", help="generate the CRS (trusted setup)")
+    s.add_argument("--library", required=True)
+    s.add_argument("--output", required=True)
+    s.add_argument("--fixed-tau", action="store_true",
+                   help="deterministic trapdoor (testing only; matches the reference's --fixed-tau)")
+    s.set_defaults(fn=cmd_setup)
+
+    s = sub.add_parser("preprocess", help="commit permutation polynomials")
+    s.add_argument("--crs", required=True)
+    s.add_argument("--library", required=True)
+    s.add_argument("--synthesizer", required=True)
+    s.add_argument("--output", required=True)
+    s.set_defaults(fn=cmd_preprocess)
+
+    s = sub.add_parser("prove", help="generate a proof")
+    s.add_argument("--crs", required=True)
+    s.add_argument("--library", required=True)
+    s.add_argument("--synthesizer", required=True)
+    s.add_argument("--output", required=True)
+    s.add_argument("--deterministic", action="store_true",
+                   help="zero blinding scalars (bit-exact proofs for testing)")
+    s.set_defaults(fn=cmd_prove)
+
+    s = sub.add_parser("verify", help="verify a proof")
+    s.add_argument("--crs", required=True)
+    s.add_argument("--library", required=True)
+    s.add_argument("--preprocess", required=True)
+    s.add_argument("--proof", required=True)
+    s.add_argument("--synthesizer", required=True)
+    s.set_defaults(fn=cmd_verify)
+
+    s = sub.add_parser("doctor", help="environment health check")
+    s.set_defaults(fn=cmd_doctor)
+    return p
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

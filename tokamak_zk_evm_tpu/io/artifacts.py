@@ -204,6 +204,87 @@ def load_library(library_dir: str) -> tuple[SetupParams, list[SubcircuitInfo], l
     return params, infos, library
 
 
+def write_r1cs(
+    r1cs: SubcircuitR1CS,
+    path: str,
+    n_wires: int,
+    n_pub_out: int = 0,
+    n_pub_in: int = 0,
+    prime: int = R_MOD,
+):
+    """Write a circom-format binary `.r1cs` (inverse of `parse_r1cs`) —
+    used to materialize synthetic libraries in the reference's on-disk
+    layout for CLI / round-trip tests."""
+    rows: dict[int, tuple[dict, dict, dict]] = {}
+    for mat, cols in enumerate((r1cs.A_cols, r1cs.B_cols, r1cs.C_cols)):
+        for wire, col in cols.items():
+            for k, coeff in col:
+                rows.setdefault(k, ({}, {}, {}))[mat][wire] = coeff % prime
+    n_constraints = (max(rows) + 1) if rows else 0
+    fs = 32
+
+    header = bytearray()
+    header += struct.pack("<I", fs)
+    header += prime.to_bytes(fs, "little")
+    header += struct.pack("<IIII", n_wires, n_pub_out, n_pub_in, 0)
+    header += struct.pack("<Q", n_wires)  # nLabels
+    header += struct.pack("<I", n_constraints)
+
+    cons = bytearray()
+    for k in range(n_constraints):
+        lcs = rows.get(k, ({}, {}, {}))
+        for mat in range(3):
+            lc = lcs[mat]
+            cons += struct.pack("<I", len(lc))
+            for wire in sorted(lc):
+                cons += struct.pack("<I", wire)
+                cons += lc[wire].to_bytes(fs, "little")
+
+    with open(path, "wb") as f:
+        f.write(b"r1cs")
+        f.write(struct.pack("<II", 1, 2))
+        f.write(struct.pack("<IQ", 1, len(header)))
+        f.write(header)
+        f.write(struct.pack("<IQ", 2, len(cons)))
+        f.write(cons)
+
+
+def save_library(
+    library_dir: str,
+    params: SetupParams,
+    infos: list[SubcircuitInfo],
+    library: list[SubcircuitR1CS],
+):
+    """Materialize a library in the qap-compiler on-disk layout."""
+    import os
+
+    os.makedirs(os.path.join(library_dir, "r1cs"), exist_ok=True)
+    with open(os.path.join(library_dir, "setupParams.json"), "w") as f:
+        json.dump(
+            {k: getattr(params, k) for k in (
+                "l_free", "l", "l_user_out", "l_user", "l_D", "m_D", "n",
+                "s_D", "s_max")},
+            f,
+        )
+    with open(os.path.join(library_dir, "subcircuitInfo.json"), "w") as f:
+        json.dump(
+            [
+                {
+                    "id": i.id, "name": i.name, "Nwires": i.Nwires,
+                    "Nconsts": 0, "Out_idx": list(i.Out_idx),
+                    "In_idx": list(i.In_idx), "flattenMap": list(i.flattenMap),
+                }
+                for i in infos
+            ],
+            f,
+        )
+    for info, r in zip(infos, library):
+        write_r1cs(
+            r, os.path.join(library_dir, "r1cs", f"subcircuit{info.id}.r1cs"),
+            n_wires=info.Nwires,
+        )
+
+
 # ---------------------------------------------------------------------------
 # Solidity-format proof.json (split-limb G1 encoding)
 
@@ -302,3 +383,81 @@ def save_proof_solidity(proof: Proof, path: str):
 def load_proof_solidity(path: str) -> Proof:
     with open(path) as f:
         return proof_from_solidity(json.load(f))
+
+
+# ---------------------------------------------------------------------------
+# Solidity-format preprocess.json (`preprocess/src/lib.rs:84-146`)
+
+
+def preprocess_to_solidity(pre) -> dict:
+    """FormattedPreprocess: s0, s1, O_pub_fix as split-limb pairs."""
+    part1: list[str] = []
+    part2: list[str] = []
+    for p in (pre.s0, pre.s1, pre.O_pub_fix):
+        x, y = (0, 0) if p is None else (p[0], p[1])
+        for coord in (x, y):
+            a, b = _split_fq(coord)
+            part1.append(a)
+            part2.append(b)
+    return {"preprocess_entries_part1": part1, "preprocess_entries_part2": part2}
+
+
+def preprocess_from_solidity(d: dict):
+    from ..models.protocol import PreprocessResult
+
+    p1 = d["preprocess_entries_part1"]
+    p2 = d["preprocess_entries_part2"]
+    assert len(p1) == 6 and len(p2) == 6
+    pts = []
+    for i in range(3):
+        x = _join_fq(p1[2 * i], p2[2 * i])
+        y = _join_fq(p1[2 * i + 1], p2[2 * i + 1])
+        pts.append(None if (x == 0 and y == 0) else (x, y))
+    return PreprocessResult(s0=pts[0], s1=pts[1], O_pub_fix=pts[2])
+
+
+def save_preprocess_solidity(pre, path: str):
+    with open(path, "w") as f:
+        json.dump(preprocess_to_solidity(pre), f, indent=2)
+
+
+def load_preprocess_solidity(path: str):
+    with open(path) as f:
+        return preprocess_from_solidity(json.load(f))
+
+
+# ---------------------------------------------------------------------------
+# Writers for the synthesizer-side artifacts (test/tooling convenience; the
+# reference's writer lives in the TS node-cli, `io/jsonWriter.ts`)
+
+
+def save_placement_variables(placements: list[Placement], path: str):
+    with open(path, "w") as f:
+        json.dump(
+            [
+                {"subcircuitId": p.subcircuit_id,
+                 "variables": [hex(v) for v in p.variables]}
+                for p in placements
+            ],
+            f,
+        )
+
+
+def save_instance(instance: Instance, path: str):
+    with open(path, "w") as f:
+        json.dump(
+            {
+                "a_pub_user": [hex(v) for v in instance.a_pub_user],
+                "a_pub_block": [hex(v) for v in instance.a_pub_block],
+                "a_pub_function": [hex(v) for v in instance.a_pub_function],
+            },
+            f,
+        )
+
+
+def save_permutation(entries: list[PermutationEntry], path: str):
+    with open(path, "w") as f:
+        json.dump(
+            [{"row": e.row, "col": e.col, "X": e.X, "Y": e.Y} for e in entries],
+            f,
+        )
