@@ -126,8 +126,8 @@ def cmd_doctor(_args) -> int:
     from .ops import field as F
     import numpy as np
 
-    a = F.pack_fr([[(R_MOD - 1)]])
-    out = F.unpack_fr(np.asarray(F.mul(a, a)))[0][0]
+    a = F.pack_fr([R_MOD - 1])
+    out = int(np.asarray(F.unpack_fr(np.asarray(F.fr_mul(a, a))))[0])
     ok = out == 1
     _log(f"[doctor] field self-test (r-1)^2 == 1: {ok}")
     print("true" if ok else "false")
