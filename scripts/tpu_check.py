@@ -156,6 +156,93 @@ def bench_ntt():
         log(f"[ntt] bintt {x_size}x{y_size}: {(time.time()-t0)/3*1e3:.1f} ms")
 
 
+def check_curve():
+    """g1_msm / g1_fixed_base hardware oracle checks (VERDICT item 1).
+
+    For large sizes the oracle is O(1) on host: points are built on device as
+    P_i = c_i * G via g1_fixed_base, so sum k_i * P_i must equal
+    ((sum k_i * c_i) mod r) * G — one host scalar-mul, independent of N.
+    """
+    from tokamak_zk_evm_tpu.host import curve as C
+    from tokamak_zk_evm_tpu.ops import curve as cv
+    from tokamak_zk_evm_tpu.ops import msm as msm_mod
+
+    rng = np.random.default_rng(5)
+
+    # tiny direct oracle (host msm over the same points)
+    n = 64
+    pts = [
+        C.g1_scalar_mul_affine(C.G1.gen, int.from_bytes(rng.bytes(16), "little"))
+        for _ in range(n)
+    ]
+    pts[3] = None
+    scalars = [int.from_bytes(rng.bytes(32), "little") % R_MOD for _ in range(n)]
+    scalars[0] = 0
+    x, y, inf = cv.pack_affine(pts)
+    t0 = time.time()
+    got = msm_mod.msm(msm_mod.scalars_from_ints(scalars), x, y, inf)
+    log(f"[msm] n=64 compile+run {time.time()-t0:.1f}s")
+    want = C.G1.msm_affine(scalars, pts)
+    assert got == want, "msm n=64 vs host oracle"
+    log("[msm] n=64 exact vs host oracle: OK")
+
+    for logn in (10, 16):
+        N = 1 << logn
+        cs = [int.from_bytes(rng.bytes(32), "little") % R_MOD for _ in range(N)]
+        t0 = time.time()
+        fam = msm_mod.fixed_base_msm_points(cs, C.G1.gen)
+        jax.tree_util.tree_map(lambda a: a.block_until_ready(), list(fam))
+        log(f"[fixed_base] 2^{logn} points in {time.time()-t0:.1f}s")
+        # spot-check 4 family members against host scalar-mul
+        spots = np.asarray([0, 1, N // 2, N - 1])
+        fx = np.asarray(fam[0])[:, spots]
+        fy = np.asarray(fam[1])[:, spots]
+        fi = np.asarray(fam[2])[spots]
+        for j, i in enumerate(spots):
+            want = C.g1_scalar_mul_affine(C.G1.gen, cs[i])
+            if fi[j]:
+                assert want is None
+            else:
+                gx = FQ.from_mont(FQ.from_limbs(fx[:, j]))
+                gy = FQ.from_mont(FQ.from_limbs(fy[:, j]))
+                assert (gx, gy) == want, f"fixed_base spot {i}"
+        ks = [int.from_bytes(rng.bytes(32), "little") % R_MOD for _ in range(N)]
+        t0 = time.time()
+        got = msm_mod.msm(msm_mod.scalars_from_ints(ks), *fam)
+        dt = time.time() - t0
+        total = sum(k * c for k, c in zip(ks, cs)) % R_MOD
+        want = C.g1_scalar_mul_affine(C.G1.gen, total)
+        assert got == want, f"msm 2^{logn} vs O(1) oracle"
+        log(f"[msm] 2^{logn} exact vs O(1) oracle: OK  ({dt:.1f}s incl compile)")
+
+
+def bench_msm():
+    from tokamak_zk_evm_tpu.host import curve as C
+    from tokamak_zk_evm_tpu.ops import msm as msm_mod
+
+    rng = np.random.default_rng(6)
+    for logn in (20, 22):
+        N = 1 << logn
+        cs = [int.from_bytes(rng.bytes(32), "little") % R_MOD for _ in range(N)]
+        t0 = time.time()
+        fam = msm_mod.fixed_base_msm_points(cs, C.G1.gen)
+        jax.tree_util.tree_map(lambda a: a.block_until_ready(), list(fam))
+        log(f"[fixed_base] 2^{logn} points in {time.time()-t0:.1f}s")
+        ks = [int.from_bytes(rng.bytes(32), "little") % R_MOD for _ in range(N)]
+        s = msm_mod.scalars_from_ints(ks)
+        t0 = time.time()
+        got = msm_mod.msm(s, *fam)
+        log(f"[msm] 2^{logn} first call (compile+run): {time.time()-t0:.1f}s")
+        t0 = time.time()
+        got = msm_mod.msm(s, *fam)
+        dt = time.time() - t0
+        log(f"[msm] 2^{logn}: {dt:.2f}s  ({N/dt/1e6:.2f} Mpts/s)")
+        total = sum(k * c for k, c in zip(ks, cs)) % R_MOD
+        want = C.g1_scalar_mul_affine(C.G1.gen, total)
+        assert got == want, f"msm 2^{logn} vs O(1) oracle"
+        log(f"[msm] 2^{logn} exact vs O(1) oracle: OK")
+
+
 def bench_prims():
     rng = np.random.default_rng(4)
     N = 1 << 22
@@ -194,6 +281,10 @@ if __name__ == "__main__":
     if what in ("ntt", "all"):
         check_ntt()
         bench_ntt()
+    if what in ("curve", "all"):
+        check_curve()
+    if what in ("msmbench",):
+        bench_msm()
     if what in ("prims", "all"):
         bench_prims()
     log("DONE")

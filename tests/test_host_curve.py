@@ -58,3 +58,21 @@ def test_multi_pairing_cancellation():
     np_ = C.G1.to_affine(C.G1.neg(C.G1.from_affine(p)))
     out = PR.multi_pairing([p, np_], [g2, g2])
     assert out == PR.Fq12.one()
+
+
+def test_msm_pow2_matches_msm_affine():
+    # the power-of-two Horner combine used by the device MSM's host tail
+    import numpy as np
+
+    rng = np.random.default_rng(17)
+    pts = [
+        C.g1_scalar_mul_affine(C.G1.gen, int.from_bytes(rng.bytes(16), "little"))
+        for _ in range(9)
+    ]
+    pts[4] = None
+    exps = [0, 1, 3, 3, 7, 64, 131, 252, 0]
+    got = C.G1.to_affine(C.G1.msm_pow2(exps, pts))
+    want = C.G1.msm_affine([1 << e for e in exps], pts)
+    assert got == want
+    assert C.G1.to_affine(C.G1.msm_pow2([], [])) is None
+    assert C.G1.to_affine(C.G1.msm_pow2([5], [None])) is None

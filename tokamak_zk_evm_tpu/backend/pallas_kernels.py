@@ -47,7 +47,7 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from ..fields import FQ, FR
+from ..fields import FQ, FR, Q_MOD
 
 FR_L = 16
 FQ_L = 24
@@ -850,94 +850,114 @@ def _scatter_row(keys, x, y, inf):
     return rx, ry, rinf
 
 
-def _msm_window(digits, px, py, pinf):
-    """One Pippenger window.  Returns [(weight, x, y, inf)] single-column
-    device points whose weighted host sum is the window value.
+@functools.lru_cache(maxsize=None)
+def _msm_windows_fn(n):
+    """Jitted scan-over-windows MSM core for a padded point count n (pow2).
 
+    One Pippenger window per scan step (window = one 16-bit scalar limb).
     Bucket accumulation = sorted merge tree: each level pairs adjacent
     entries; same-key pairs merge with one batched affine add, boundary pairs
     flush the left partial into that level's bucket row (sortedness
     guarantees at most one flush per bucket per level, so scatter-set is
-    conflict-free).  Point work: exactly N-1 adds per window — the minimum.
+    conflict-free).  Point work: exactly n-1 adds per window — the minimum.
+    The weighted bucket sum T = sum_b b * B_b is pair-halving
+    (T(B) = 2*T(B_even + B_odd) + sum(B_odd)), emitting one "single" point
+    per halving level; the 2^level weighting is deferred to the host combine.
+
+    The 16 windows run under lax.scan so the window body is traced and
+    compiled ONCE (an unrolled 16x body takes ~7 minutes of XLA compile).
+    Returns (sx [16, NLEV, 24], sy [16, NLEV, 24], sinf [16, NLEV]):
+    window value = sum_level 2^level * single[window, level].
     """
-    N = digits.shape[0]
-    n = 1 << (N - 1).bit_length()
-    key = jnp.pad(digits, (0, n - N), constant_values=_DUMMY)
-    key = jnp.where(
-        jnp.pad(pinf, (0, n - N), constant_values=1).astype(bool), _DUMMY, key
-    )
-    order = jnp.argsort(key)
-    key = key[order]
-    x = jnp.pad(px, ((0, 0), (0, n - N)))[:, order]
-    y = jnp.pad(py, ((0, 0), (0, n - N)))[:, order]
-    inf = jnp.pad(pinf, (0, n - N), constant_values=1)[order].astype(jnp.uint32)
 
-    bx, by, binf = _aff_inf(_NB + 1)
-    while n > 1:
-        kl, kr = key[0::2], key[1::2]
-        left = (x[:, 0::2], y[:, 0::2], inf[0::2])
-        right = (x[:, 1::2], y[:, 1::2], inf[1::2])
-        same = kl == kr
-        mx, my, minf = _affine_add(left, right)
-        x = jnp.where(same[None, :], mx, right[0])
-        y = jnp.where(same[None, :], my, right[1])
-        inf = jnp.where(same, minf, right[2])
-        key = kr
-        lk = jnp.where(same, _DUMMY, kl)
-        linf = jnp.where(same, jnp.uint32(1), left[2])
-        rx, ry, rinf = _scatter_row(lk, left[0], left[1], linf)
+    def window_body(carry, digits):
+        xp, yp, infp = carry
+        key = jnp.where(infp.astype(bool), jnp.uint32(_DUMMY), digits)
+        order = jnp.argsort(key)
+        key = key[order]
+        x = xp[:, order]
+        y = yp[:, order]
+        inf = infp[order]
+
+        bx, by, binf = _aff_inf(_NB + 1)
+        m = n
+        while m > 1:
+            kl, kr = key[0::2], key[1::2]
+            left = (x[:, 0::2], y[:, 0::2], inf[0::2])
+            right = (x[:, 1::2], y[:, 1::2], inf[1::2])
+            same = kl == kr
+            mx, my, minf = _affine_add(left, right)
+            x = jnp.where(same[None, :], mx, right[0])
+            y = jnp.where(same[None, :], my, right[1])
+            inf = jnp.where(same, minf, right[2])
+            key = kr
+            lk = jnp.where(same, jnp.uint32(_DUMMY), kl)
+            linf = jnp.where(same, jnp.uint32(1), left[2])
+            rx, ry, rinf = _scatter_row(lk, left[0], left[1], linf)
+            bx, by, binf = _affine_add((bx, by, binf), (rx, ry, rinf))
+            m //= 2
+        # final survivor
+        fk = jnp.where(inf.astype(bool), jnp.uint32(_DUMMY), key)
+        rx, ry, rinf = _scatter_row(fk, x, y, inf)
         bx, by, binf = _affine_add((bx, by, binf), (rx, ry, rinf))
-        n //= 2
-    # final survivor
-    fk = jnp.where(inf.astype(bool), _DUMMY, key)
-    rx, ry, rinf = _scatter_row(fk, x, y, inf)
-    bx, by, binf = _affine_add((bx, by, binf), (rx, ry, rinf))
 
-    # weighted bucket sum T = sum_b b * B_b over buckets 0.._NB-1
-    # (bucket 0 has weight 0; the DUMMY bucket is sliced off):
-    # pair halving: T(B) = 2*T(B_even + B_odd) + sum(B_odd)
-    bx, by, binf = bx[:, :_NB], by[:, :_NB], binf[:_NB]
-    singles = []
-    nb = _NB
-    level = 0
-    while nb > 1:
-        ev = (bx[:, 0::2], by[:, 0::2], binf[0::2])
-        od = (bx[:, 1::2], by[:, 1::2], binf[1::2])
-        sx, sy, sinf = _affine_tree_sum(od)
-        singles.append((1 << level, sx, sy, sinf))
-        bx, by, binf = _affine_add(ev, od)
-        nb //= 2
-        level += 1
-    return singles
+        # weighted bucket sum over buckets 0.._NB-1 (bucket 0 has weight 0;
+        # the DUMMY bucket is sliced off)
+        bx, by, binf = bx[:, :_NB], by[:, :_NB], binf[:_NB]
+        sxs, sys, sinfs = [], [], []
+        nb = _NB
+        while nb > 1:
+            ev = (bx[:, 0::2], by[:, 0::2], binf[0::2])
+            od = (bx[:, 1::2], by[:, 1::2], binf[1::2])
+            sx, sy, sinf = _affine_tree_sum(od)
+            sxs.append(sx[:, 0])
+            sys.append(sy[:, 0])
+            sinfs.append(sinf[0])
+            bx, by, binf = _affine_add(ev, od)
+            nb //= 2
+        return carry, (jnp.stack(sxs), jnp.stack(sys), jnp.stack(sinfs))
+
+    def run(scalars, xp, yp, infp):
+        _, (sx, sy, sinf) = jax.lax.scan(
+            window_body, (xp, yp, infp), scalars
+        )
+        return sx, sy, sinf
+
+    return jax.jit(run)
 
 
 def g1_msm(scalars, px, py, pinf):
     """Full MSM -> jacobian [3, 24] u32 rows (matches native G1Msm).
 
-    Device work: 16 windows x (argsort + N batched affine adds + bucket
-    halving); the ~16x16 weighted single points are pulled to the host once
-    and combined exactly (host/curve.py) — the same split as the reference,
-    which runs its Fiat-Shamir/"tiny sequential tail" work on CPU.
+    Device work: 16 scanned windows x (argsort + N batched affine adds +
+    bucket halving); the 16x16 weighted single points are pulled to the host
+    once and combined exactly via the power-of-two Horner in host/curve.py —
+    the same split as the reference, which runs its Fiat-Shamir/"tiny
+    sequential tail" work on CPU.
     """
     from ..host.curve import G1
 
+    N = px.shape[1]
+    n = max(2, 1 << (N - 1).bit_length())
     pinf = pinf.astype(jnp.uint32)
-    weights = []
-    cols_x, cols_y, cols_i = [], [], []
+    xp = jnp.pad(px, ((0, 0), (0, n - N)))
+    yp = jnp.pad(py, ((0, 0), (0, n - N)))
+    infp = jnp.pad(pinf, (0, n - N), constant_values=1)
+    sc = jnp.pad(scalars.astype(jnp.uint32), ((0, 0), (0, n - N)))
+    sx, sy, sinf = _msm_windows_fn(n)(sc, xp, yp, infp)
+    sxh, syh, sinfh = np.asarray(sx), np.asarray(sy), np.asarray(sinf)
+    exps, pts = [], []
     for wi in range(FR_L):
-        digits = scalars[wi, :].astype(jnp.uint32)
-        singles = _msm_window(digits, px, py, pinf)
-        for w, sx, sy, sinf in singles:
-            weights.append((1 << (_WBITS * wi)) * w)
-            cols_x.append(sx)
-            cols_y.append(sy)
-            cols_i.append(sinf)
-    allx = jnp.concatenate(cols_x, axis=1)
-    ally = jnp.concatenate(cols_y, axis=1)
-    alli = jnp.concatenate(cols_i)
-    pts = _aff_to_host(allx, ally, alli)
-    total = G1.msm_affine(weights, pts)  # jacobian host tuple
-    X, Y, Z = total
+        for lev in range(sxh.shape[1]):
+            exps.append(_WBITS * wi + lev)
+            if sinfh[wi, lev]:
+                pts.append(None)
+            else:
+                pts.append((
+                    FQ.from_mont(FQ.from_limbs(sxh[wi, lev])),
+                    FQ.from_mont(FQ.from_limbs(syh[wi, lev])),
+                ))
+    X, Y, Z = G1.msm_pow2(exps, pts)  # jacobian host tuple (Z=0 at infinity)
     rows = np.zeros((3, FQ_L), np.uint32)
     rows[0] = FQ.to_limbs(FQ.to_mont(X))
     rows[1] = FQ.to_limbs(FQ.to_mont(Y))
@@ -945,19 +965,14 @@ def g1_msm(scalars, px, py, pinf):
     return jnp.asarray(rows)
 
 
-def g1_fixed_base(scalars, gen):
-    """out[i] = k[i] * G for one shared affine G (CRS generation workhorse).
+@functools.lru_cache(maxsize=4)
+def _fixed_base_table(gx: int, gy: int):
+    """Host-built 32x256 window table for generator (gx, gy) -> device arrays.
 
-    The 32x256 window table is built on the host with exact ints (8k point
-    ops, setup-path only), then applied as 32 batched gather + affine adds.
-    Returns jacobian arrays like the native kernel (Z in {0, 1} here; callers
-    normalize via to_affine, so representations may differ across backends).
-    """
+    ~8k exact host point ops; cached per generator so repeated CRS-family
+    calls (trusted setup makes dozens against the same G) pay it once."""
     from ..host.curve import G1
 
-    genh = np.asarray(gen)
-    gx = FQ.from_mont(FQ.from_limbs(genh[:, 0]))
-    gy = FQ.from_mont(FQ.from_limbs(genh[:, 1]))
     W, NWIN, TBL = 8, 32, 256
     base = G1.from_affine((gx, gy))
     tx = np.zeros((FQ_L, NWIN, TBL), np.uint32)
@@ -965,15 +980,45 @@ def g1_fixed_base(scalars, gen):
     tinf = np.ones((NWIN, TBL), np.uint32)
     for wi in range(NWIN):
         acc = G1.infinity
+        pts = []
         for d in range(1, TBL):
             acc = G1.add(acc, base)
-            ax, ay = G1.to_affine(acc)
+            pts.append(acc)
+        # batch-normalize the column's jacobian points (one inversion)
+        zs = [p[2] for p in pts]
+        pre = []
+        run = 1
+        for z in zs:
+            pre.append(run)
+            run = run * z % Q_MOD
+        inv = pow(run, -1, Q_MOD)
+        for d in range(TBL - 1, 0, -1):
+            p = pts[d - 1]
+            zi = pre[d - 1] * inv % Q_MOD
+            inv = inv * p[2] % Q_MOD
+            zi2 = zi * zi % Q_MOD
+            ax = p[0] * zi2 % Q_MOD
+            ay = p[1] * zi2 % Q_MOD * zi % Q_MOD
             tx[:, wi, d] = FQ.to_limbs(FQ.to_mont(ax))
             ty[:, wi, d] = FQ.to_limbs(FQ.to_mont(ay))
             tinf[wi, d] = 0
         for _ in range(W):
             base = G1.double(base)
-    txd, tyd, tinfd = jnp.asarray(tx), jnp.asarray(ty), jnp.asarray(tinf)
+    return jnp.asarray(tx), jnp.asarray(ty), jnp.asarray(tinf)
+
+
+def g1_fixed_base(scalars, gen):
+    """out[i] = k[i] * G for one shared affine G (CRS generation workhorse).
+
+    The 32x256 window table is built on the host with exact ints (cached per
+    generator), then applied as 32 batched gather + affine adds.  Returns
+    jacobian arrays like the native kernel (Z in {0, 1} here; callers
+    normalize via to_affine, so representations may differ across backends).
+    """
+    genh = np.asarray(gen)
+    gx = FQ.from_mont(FQ.from_limbs(genh[:, 0]))
+    gy = FQ.from_mont(FQ.from_limbs(genh[:, 1]))
+    txd, tyd, tinfd = _fixed_base_table(gx, gy)
     B = scalars.shape[1]
     ax, ay, ainf = _aff_inf(B)
     for wi in range(NWIN):

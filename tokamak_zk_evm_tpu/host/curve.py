@@ -201,6 +201,28 @@ class CurveGroup:
             acc = self.add(acc, self.scalar_mul(self.from_affine(pa), k))
         return self.to_affine(acc)
 
+    def msm_pow2(self, exps, points_affine):
+        """sum 2^e_i * P_i -> jacobian point.
+
+        Horner over exponent levels (max(e) doublings + len(points) adds),
+        the exact combine the device MSM's weighted window singles need
+        (backend/pallas_kernels.py g1_msm): every window weight there is a
+        power of two.  Mirrors the reference's host-side window combine in
+        ICICLE-CPU msm (the "tiny sequential tail" stays on CPU)."""
+        by_exp: dict = {}
+        for e, pa in zip(exps, points_affine):
+            if pa is None:
+                continue
+            by_exp.setdefault(int(e), []).append(pa)
+        acc = self.infinity
+        if not by_exp:
+            return acc
+        for e in range(max(by_exp), -1, -1):
+            acc = self.double(acc)
+            for pa in by_exp.get(e, ()):
+                acc = self.add(acc, self.from_affine(pa))
+        return acc
+
 
 G1 = CurveGroup(Fq, 4, (G1_GEN_X, G1_GEN_Y), "G1")
 G2 = CurveGroup(Fq2, (4, 4), (G2_GEN_X, G2_GEN_Y), "G2")
