@@ -112,7 +112,11 @@ def main():
     proof, proof4t = prover.prove()
     prove_s = time.time() - t0
     log(f"[bench] prove took {prove_s:.3f}s (total script {time.time()-t_start:.0f}s)")
-    log(f"[bench] spans: {json.dumps(timing.summarize()['by_category'])}")
+    summ = timing.summarize()
+    log(f"[bench] spans by_category: "
+        f"{json.dumps({k: round(v, 3) for k, v in summ['by_category'].items()})}")
+    log(f"[bench] spans by_name: "
+        f"{json.dumps({k: round(v, 3) for k, v in summ['by_name'].items()})}")
 
     if os.environ.get("TOKAMAK_BENCH_VERIFY", "0") == "1":
         from tokamak_zk_evm_tpu.models.preprocess import preprocess

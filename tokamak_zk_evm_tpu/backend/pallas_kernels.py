@@ -1020,16 +1020,41 @@ def g1_fixed_base(scalars, gen):
     gy = FQ.from_mont(FQ.from_limbs(genh[:, 1]))
     txd, tyd, tinfd = _fixed_base_table(gx, gy)
     B = scalars.shape[1]
-    ax, ay, ainf = _aff_inf(B)
-    for wi in range(NWIN):
-        d = (scalars[wi // 2, :] >> (8 * (wi % 2))) & jnp.uint32(0xFF)
-        pxw = txd[:, wi, d]
-        pyw = tyd[:, wi, d]
-        piw = tinfd[wi, d]
-        ax, ay, ainf = _affine_add((ax, ay, ainf), (pxw, pyw, piw))
-    one = jnp.broadcast_to(jnp.asarray(_one_col_np("fq")), ax.shape)
-    Z = jnp.where(ainf[None, :].astype(bool), jnp.zeros_like(one), one)
-    iswap = ainf[None, :].astype(bool)
-    X = jnp.where(iswap, one, ax)
-    Y = jnp.where(iswap, one, ay)
+    X, Y, Z = _fixed_base_apply_fn(B)(scalars, txd, tyd, tinfd)
     return X, Y, Z
+
+
+@functools.lru_cache(maxsize=None)
+def _fixed_base_apply_fn(B):
+    """Jitted 32-window table apply: lax.scan over windows (one gather + one
+    batched affine add per step) so the body compiles once — the unrolled
+    version was a multi-minute XLA compile per batch size."""
+    NWIN = 32
+
+    def body(carry, xs):
+        ax, ay, ainf = carry
+        txr, tyr, tir, d = xs
+        return _affine_add((ax, ay, ainf), (txr[:, d], tyr[:, d], tir[d])), None
+
+    def run(scalars, txd, tyd, tinfd):
+        digits = jnp.stack(
+            [
+                (scalars[wi // 2, :] >> (8 * (wi % 2))) & jnp.uint32(0xFF)
+                for wi in range(NWIN)
+            ]
+        )  # [32, B]
+        xs = (
+            jnp.moveaxis(txd, 1, 0),  # [32, 24, 256]
+            jnp.moveaxis(tyd, 1, 0),
+            tinfd,  # [32, 256]
+            digits,
+        )
+        (ax, ay, ainf), _ = jax.lax.scan(body, _aff_inf(B), xs)
+        one = jnp.broadcast_to(jnp.asarray(_one_col_np("fq")), ax.shape)
+        iswap = ainf[None, :].astype(bool)
+        Z = jnp.where(iswap, jnp.zeros_like(one), one)
+        X = jnp.where(iswap, one, ax)
+        Y = jnp.where(iswap, one, ay)
+        return X, Y, Z
+
+    return jax.jit(run)

@@ -47,9 +47,9 @@ def cmd_setup(args) -> int:
     if args.fixed_tau:
         tau = Tau.fixed()
     else:
-        import numpy as np
+        from .utils.rng import secure_rng
 
-        tau = Tau.random(np.random.default_rng())
+        tau = Tau.random(secure_rng())
     t0 = time.time()
     sigma = generate_sigma(params, tau, library, infos)
     _log(f"[setup] sigma generated in {time.time() - t0:.1f}s")
@@ -62,9 +62,13 @@ def cmd_preprocess(args) -> int:
     from .io import artifacts as art, crs
     from .models.preprocess import preprocess
 
-    params, _infos, _library = art.load_library(args.library)
+    # only setupParams + instance/permutation are needed here — skip parsing
+    # the 14 R1CS files and placementVariables.json (reference preprocess
+    # likewise consumes only the slim sigma_preprocess inputs)
+    params = art.load_setup_params(os.path.join(args.library, "setupParams.json"))
     sigma = crs.load_sigma(args.crs)
-    _placements, instance, permutation = _load_synthesizer_outputs(args.synthesizer)
+    instance = art.load_instance(os.path.join(args.synthesizer, "instance.json"))
+    permutation = art.load_permutation(os.path.join(args.synthesizer, "permutation.json"))
     t0 = time.time()
     pre = preprocess(sigma, permutation, instance, params)
     _log(f"[preprocess] done in {time.time() - t0:.1f}s")
@@ -76,16 +80,15 @@ def cmd_preprocess(args) -> int:
 
 
 def cmd_prove(args) -> int:
-    import numpy as np
-
     from .io import artifacts as art, crs
     from .models.protocol import Mixer
     from .models.prover import Prover
+    from .utils.rng import secure_rng
 
     params, infos, library = art.load_library(args.library)
     sigma = crs.load_sigma(args.crs)
     placements, instance, permutation = _load_synthesizer_outputs(args.synthesizer)
-    mixer = Mixer.zero() if args.deterministic else Mixer.random(np.random.default_rng())
+    mixer = Mixer.zero() if args.deterministic else Mixer.random(secure_rng())
     t0 = time.time()
     prover = Prover(
         params, sigma, library, infos, placements, permutation, instance, mixer=mixer
@@ -103,7 +106,7 @@ def cmd_verify(args) -> int:
     from .io import artifacts as art, crs
     from .models.verifier import Verifier
 
-    params, _infos, _library = art.load_library(args.library)
+    params = art.load_setup_params(os.path.join(args.library, "setupParams.json"))
     sigma = crs.load_sigma(args.crs)
     pre = art.load_preprocess_solidity(os.path.join(args.preprocess, "preprocess.json"))
     proof = art.load_proof_solidity(os.path.join(args.proof, "proof.json"))

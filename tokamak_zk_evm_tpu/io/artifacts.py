@@ -312,7 +312,8 @@ def _split_fq(v: int) -> tuple[str, str]:
 
 def _join_fq(p1: str, p2: str) -> int:
     b = bytes.fromhex(p1[2:]) + bytes.fromhex(p2[2:])
-    assert len(b) == 48
+    if len(b) != 48:
+        raise ValueError(f"malformed G1 limb pair: {len(b)} bytes, want 48")
     return int.from_bytes(b, "big")
 
 
@@ -340,8 +341,13 @@ def proof_from_solidity(d: dict) -> Proof:
     p1 = d["proof_entries_part1"]
     p2 = d["proof_entries_part2"]
     n_g1 = len(_G1_ORDER)
-    assert len(p1) == 2 * n_g1, f"expected {2*n_g1} part1 limbs"
-    assert len(p2) == 2 * n_g1 + len(_SCALAR_ORDER)
+    if len(p1) != 2 * n_g1:
+        raise ValueError(f"proof part1: expected {2 * n_g1} limbs, got {len(p1)}")
+    if len(p2) != 2 * n_g1 + len(_SCALAR_ORDER):
+        raise ValueError(
+            f"proof part2: expected {2 * n_g1 + len(_SCALAR_ORDER)} entries, "
+            f"got {len(p2)}"
+        )
     pts = {}
     for i, (sect, name) in enumerate(_G1_ORDER):
         x = _join_fq(p1[2 * i], p2[2 * i])
@@ -407,7 +413,10 @@ def preprocess_from_solidity(d: dict):
 
     p1 = d["preprocess_entries_part1"]
     p2 = d["preprocess_entries_part2"]
-    assert len(p1) == 6 and len(p2) == 6
+    if len(p1) != 6 or len(p2) != 6:
+        raise ValueError(
+            f"preprocess entries: expected 6+6, got {len(p1)}+{len(p2)}"
+        )
     pts = []
     for i in range(3):
         x = _join_fq(p1[2 * i], p2[2 * i])

@@ -36,6 +36,7 @@ from .protocol import (
 )
 from .setup import Sigma
 from .transcript import TranscriptManager
+from ..utils import timing
 
 
 # ---------------------------------------------------------------------------
@@ -53,18 +54,20 @@ def encode_poly(sigma: Sigma, poly: BiPoly, params: SetupParams):
     rs_y = 2 * params.s_max
     if tx > rs_x or ty > rs_y:
         raise ValueError("Insufficient length of sigma.sigma_1.xy_powers")
-    coeffs = p.coeffs[:, :tx, :ty]
-    scalars = msm_mod.scalars_from_mont(coeffs.reshape(F.FR_L, -1))
-    px, py, pinf = sigma.sigma_1.xy_powers
-    s1 = sigma.sigma_1
-    grid_idx = (
-        np.arange(tx)[:, None] * s1.rs_y + np.arange(ty)[None, :]
-    ).reshape(-1)
-    idx = jnp.asarray(grid_idx)
-    return msm_mod.msm(
-        scalars, jnp.take(px, idx, axis=1), jnp.take(py, idx, axis=1),
-        jnp.take(pinf, idx, axis=0),
-    )
+    with timing.span("encode_poly", "encode", tx=tx, ty=ty):
+        coeffs = p.coeffs[:, :tx, :ty]
+        scalars = msm_mod.scalars_from_mont(coeffs.reshape(F.FR_L, -1))
+        s1 = sigma.sigma_1
+        px, py, pinf = s1.xy_powers
+        # xy_powers is the x-major [h_max, rs_y] monomial grid flattened, so
+        # the degree-sliced point view is a 2-D slice — no gather, no index
+        # array (the reference MSMs a resident CRS slice the same way,
+        # group_structures/mod.rs:107-114)
+        LQ = px.shape[0]
+        gx = px.reshape(LQ, s1.h_max, s1.rs_y)[:, :tx, :ty].reshape(LQ, -1)
+        gy = py.reshape(LQ, s1.h_max, s1.rs_y)[:, :tx, :ty].reshape(LQ, -1)
+        gi = pinf.reshape(s1.h_max, s1.rs_y)[:tx, :ty].reshape(-1)
+        return msm_mod.msm(scalars, gx, gy, gi)
 
 
 def _indexed_msm(points_family, scalars_ints, indices):
@@ -198,19 +201,20 @@ class Prover:
         self.infos = infos
         n, s_max, m_i = params.n, params.s_max, params.m_i
 
-        # witness polynomials (init phase, lib.rs:736-775)
-        self.bXY = W.gen_bXY(placements, infos, params)
-        self.uXY = W.gen_uXY(placements, library, params)
-        self.vXY = W.gen_vXY(placements, library, params)
-        self.wXY = W.gen_wXY(placements, library, params)
-        self.rXY = None
+        with timing.span("init.witness", "build", n=n, s_max=s_max, m_i=m_i):
+            # witness polynomials (init phase, lib.rs:736-775)
+            self.bXY = W.gen_bXY(placements, infos, params)
+            self.uXY = W.gen_uXY(placements, library, params)
+            self.vXY = W.gen_vXY(placements, library, params)
+            self.wXY = W.gen_wXY(placements, library, params)
+            self.rXY = None
 
-        # instance polynomials (lib.rs:822-914)
-        self.a_free_X = W.gen_a_free_X(instance, params)
-        self.t_n = W.vanishing_poly_x(n)
-        self.t_mi = W.vanishing_poly_x(m_i)
-        self.t_smax = W.vanishing_poly_y(s_max)
-        self.s0XY, self.s1XY = W.permutation_to_polys(permutation, m_i, s_max)
+            # instance polynomials (lib.rs:822-914)
+            self.a_free_X = W.gen_a_free_X(instance, params)
+            self.t_n = W.vanishing_poly_x(n)
+            self.t_mi = W.vanishing_poly_x(m_i)
+            self.t_smax = W.vanishing_poly_y(s_max)
+            self.s0XY, self.s1XY = W.permutation_to_polys(permutation, m_i, s_max)
 
         if mixer is None:
             mixer = Mixer.random(rng) if rng is not None else Mixer.zero()
@@ -221,7 +225,8 @@ class Prover:
         self._term_b_zk = None
         self._lagrange_kl = None
 
-        self.binding = self._compute_binding()
+        with timing.span("init.binding", "build"):
+            self.binding = self._compute_binding()
 
     # -- binding (lib.rs:1083-1167) ------------------------------------
     def _compute_binding(self) -> Binding:
@@ -587,19 +592,26 @@ class Prover:
     # -- full pipeline (prove/src/main.rs flow) -------------------------
     def prove(self) -> tuple[Proof, Proof4Test]:
         manager = TranscriptManager()
-        proof0 = self.prove0()
+        with timing.span("prove0", "prove"):
+            proof0 = self.prove0()
         manager.add_proof0(proof0)
         thetas = manager.get_thetas()
-        proof1 = self.prove1(thetas)
+        with timing.span("prove1", "prove"):
+            proof1 = self.prove1(thetas)
         manager.add_proof1(proof1)
         kappa0 = manager.get_kappa0()
-        proof2 = self.prove2(thetas, kappa0)
+        with timing.span("prove2", "prove"):
+            proof2 = self.prove2(thetas, kappa0)
         manager.add_proof2(proof2)
         chi, zeta = manager.get_chi_zeta()
-        proof3 = self.prove3(chi, zeta)
+        with timing.span("prove3", "prove"):
+            proof3 = self.prove3(chi, zeta)
         manager.add_proof3(proof3)
         kappa1 = manager.get_kappa1()
-        proof4, proof4_test = self.prove4(proof3, thetas, kappa0, chi, zeta, kappa1)
+        with timing.span("prove4", "prove"):
+            proof4, proof4_test = self.prove4(
+                proof3, thetas, kappa0, chi, zeta, kappa1
+            )
         return (
             Proof(binding=self.binding, proof0=proof0, proof1=proof1,
                   proof2=proof2, proof3=proof3, proof4=proof4),

@@ -61,10 +61,14 @@ class Verifier:
         chi, zeta = m.get_chi_zeta()
         m.add_proof3(self.proof.proof3)
         kappa1 = m.get_kappa1()
-        if self._rng is not None:
-            kappa2 = int.from_bytes(self._rng.bytes(32), "little") % R_MOD
-        else:
-            kappa2 = 0x1234567890ABCDEF_FEDCBA09 % R_MOD
+        # kappa2 is the verifier's own batching challenge — the reference
+        # samples it randomly (`verify-rust/src/lib.rs`); a fixed value would
+        # weaken the batched pairing check, so default to a CSPRNG.
+        if self._rng is None:
+            from ..utils.rng import secure_rng
+
+            self._rng = secure_rng()
+        kappa2 = int.from_bytes(self._rng.bytes(32), "little") % R_MOD
         return thetas, kappa0, chi, zeta, kappa1, kappa2
 
     def _domain(self, chi, zeta):

@@ -100,7 +100,6 @@ def gen_a_free_X(instance: Instance, params: SetupParams) -> BiPoly:
 
 def vanishing_poly_x(n: int) -> BiPoly:
     """t_n(X) = X^n - 1 as a (2n, 1) grid (`prove/src/lib.rs:849-862`)."""
-    col = [[0]] * 0
     grid = [[0] for _ in range(2 * n)]
     grid[0] = [(-1) % R_MOD]
     grid[n] = [1]

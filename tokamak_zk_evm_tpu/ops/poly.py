@@ -105,11 +105,19 @@ class BiPoly:
         return BiPoly(out, min(self.x_degree, nx - 1), min(self.y_degree, ny - 1))
 
     def find_degree(self) -> tuple[int, int]:
-        nz = np.asarray(jnp.any(self.coeffs != 0, axis=0))
-        rows = nz.any(axis=1)
-        cols = nz.any(axis=0)
-        xd = int(np.max(np.nonzero(rows)[0])) if rows.any() else -1
-        yd = int(np.max(np.nonzero(cols)[0])) if cols.any() else -1
+        """Exact (x, y) degrees.  Reduces on device and transfers two ints
+        (the reference's find_degree is a rayon host scan; pulling the whole
+        coefficient grid to host here would be a 2^23-element copy).  The
+        result tightens the cached degree bounds, so repeat calls are free."""
+        if (self.x_degree, self.y_degree) == (-1, -1):
+            return -1, -1
+        nz = jnp.any(self.coeffs != 0, axis=0)  # [x, y]
+        rows = jnp.any(nz, axis=1)
+        cols = jnp.any(nz, axis=0)
+        xi = jnp.max(jnp.where(rows, jnp.arange(rows.shape[0]), -1))
+        yi = jnp.max(jnp.where(cols, jnp.arange(cols.shape[0]), -1))
+        xd, yd = (int(v) for v in np.asarray(jnp.stack([xi, yi])))
+        self.x_degree, self.y_degree = xd, yd
         return xd, yd
 
     def optimized(self) -> "BiPoly":

@@ -56,12 +56,54 @@ def _buffer_placement(info: SubcircuitInfo, io_vals: list[int]) -> Placement:
     return Placement(subcircuit_id=info.id, variables=vars_)
 
 
+def _dectobit_placement(info: SubcircuitInfo, lo: int, hi: int) -> Placement:
+    """DecToBit witness built in closed form: wires are
+    [const] + out[256] (bit decomposition) + in[2] (lower/upper 128-bit limbs)
+    (`qap-compiler/subcircuits/circom/DecToBit_circuit.circom`: out[i] =
+    bit i of in[0], out[i+128] = bit i of in[1]; no internal wires)."""
+    assert 0 <= lo < (1 << 128) and 0 <= hi < (1 << 128)
+    o0, oc = info.Out_idx
+    i0, ic = info.In_idx
+    assert oc == 256 and ic == 2 and info.Nwires == 259
+    vars_ = [0] * info.Nwires
+    vars_[0] = 1
+    vars_[i0] = lo
+    vars_[i0 + 1] = hi
+    for b in range(128):
+        vars_[o0 + b] = (lo >> b) & 1
+        vars_[o0 + 128 + b] = (hi >> b) & 1
+    return Placement(subcircuit_id=info.id, variables=vars_)
+
+
+def check_r1cs_satisfaction(r1cs: SubcircuitR1CS, variables: list[int]) -> bool:
+    """Host-exact R1CS check: (A w) * (B w) == (C w) per constraint row
+    (the reference's testing-mode equivalent, `prove/src/lib.rs:1473-1518`,
+    evaluated directly on the sparse columns instead of QAP evals)."""
+    from collections import defaultdict
+
+    sums = []
+    for cols in (r1cs.A_cols, r1cs.B_cols, r1cs.C_cols):
+        acc: dict[int, int] = defaultdict(int)
+        for wire, col in cols.items():
+            v = variables[wire] % R_MOD
+            if v:
+                for k, coeff in col:
+                    acc[k] = (acc[k] + coeff * v) % R_MOD
+        sums.append(acc)
+    a, b, c = sums
+    for k in set(a) | set(b) | set(c):
+        if (a.get(k, 0) * b.get(k, 0)) % R_MOD != c.get(k, 0) % R_MOD:
+            return False
+    return True
+
+
 def build_real_fixture(
     library_dir: str = REFERENCE_LIBRARY,
     s_max: int | None = None,
     seed: int = 11,
+    include_dectobit: bool = False,
 ) -> RealFixture:
-    """Buffer-only placements on the real library.
+    """Buffer (+ optionally DecToBit) placements on the real library.
 
     `s_max` may be shrunk (power of two >= 4) to bound the NTT domain for
     tests; all wire-structure parameters (n, l, l_D, m_D) stay real.
@@ -98,6 +140,14 @@ def build_real_fixture(
         _buffer_placement(block_in_i, block_vals),
         _buffer_placement(evm_in_i, evm_vals),
     ]
+    if include_dectobit:
+        dec_i = by_name["DecToBit"]
+        placements.append(
+            _dectobit_placement(
+                dec_i, rand_fr() % (1 << 128), rand_fr() % (1 << 128)
+            )
+        )
+        placements.append(_dectobit_placement(dec_i, (1 << 128) - 1, 0))
     assert len(placements) <= params.s_max
 
     # Copy cycles: pubIn.out[j] (producer) <-> pubOut.in[k] for every k with
