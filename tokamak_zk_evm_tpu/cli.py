@@ -53,7 +53,19 @@ def cmd_setup(args) -> int:
     t0 = time.time()
     sigma = generate_sigma(params, tau, library, infos)
     _log(f"[setup] sigma generated in {time.time() - t0:.1f}s")
-    crs.save_sigma(sigma, args.output)
+    fmt = args.format
+    if fmt in ("npz", "both"):
+        crs.save_sigma(sigma, args.output)
+    if fmt in ("rkyv", "both"):
+        from .io import rkyv_crs
+
+        n1 = rkyv_crs.write_combined_sigma(
+            sigma, params, os.path.join(args.output, "combined_sigma.rkyv")
+        )
+        n2 = rkyv_crs.write_sigma_preprocess(
+            sigma, params, os.path.join(args.output, "sigma_preprocess.rkyv")
+        )
+        _log(f"[setup] rkyv archives: combined={n1}B preprocess={n2}B")
     _log(f"[setup] CRS written to {args.output}")
     return 0
 
@@ -66,7 +78,7 @@ def cmd_preprocess(args) -> int:
     # the 14 R1CS files and placementVariables.json (reference preprocess
     # likewise consumes only the slim sigma_preprocess inputs)
     params = art.load_setup_params(os.path.join(args.library, "setupParams.json"))
-    sigma = crs.load_sigma(args.crs)
+    sigma = crs.load_sigma_any(args.crs, params)
     instance = art.load_instance(os.path.join(args.synthesizer, "instance.json"))
     permutation = art.load_permutation(os.path.join(args.synthesizer, "permutation.json"))
     t0 = time.time()
@@ -86,7 +98,7 @@ def cmd_prove(args) -> int:
     from .utils.rng import secure_rng
 
     params, infos, library = art.load_library(args.library)
-    sigma = crs.load_sigma(args.crs)
+    sigma = crs.load_sigma_any(args.crs, params)
     placements, instance, permutation = _load_synthesizer_outputs(args.synthesizer)
     mixer = Mixer.zero() if args.deterministic else Mixer.random(secure_rng())
     t0 = time.time()
@@ -107,7 +119,7 @@ def cmd_verify(args) -> int:
     from .models.verifier import Verifier
 
     params = art.load_setup_params(os.path.join(args.library, "setupParams.json"))
-    sigma = crs.load_sigma(args.crs)
+    sigma = crs.load_sigma_any(args.crs, params)
     pre = art.load_preprocess_solidity(os.path.join(args.preprocess, "preprocess.json"))
     proof = art.load_proof_solidity(os.path.join(args.proof, "proof.json"))
     instance = art.load_instance(os.path.join(args.synthesizer, "instance.json"))
@@ -149,6 +161,9 @@ def build_parser() -> argparse.ArgumentParser:
     s.add_argument("--output", required=True)
     s.add_argument("--fixed-tau", action="store_true",
                    help="deterministic trapdoor (testing only; matches the reference's --fixed-tau)")
+    s.add_argument("--format", choices=("npz", "rkyv", "both"), default="both",
+                   help="CRS artifact format: npz (native), rkyv "
+                        "(reference combined_sigma.rkyv/sigma_preprocess.rkyv), or both")
     s.set_defaults(fn=cmd_setup)
 
     s = sub.add_parser("preprocess", help="commit permutation polynomials")

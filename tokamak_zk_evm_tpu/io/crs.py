@@ -1,10 +1,11 @@
 """CRS (Sigma) persistence.
 
 Native format: one .npz holding the packed device point families + a JSON
-sidecar for the host points and shape metadata.  Functionally replaces the
-reference's rkyv archives (`combined_sigma.rkyv` / `sigma_preprocess.rkyv` /
-`sigma_verify.json`, `iotools/mod.rs:1703-1845`); an rkyv importer for the
-published 1 GB reference CRS belongs in a follow-up (`io/rkyv_import.py`).
+sidecar for the host points and shape metadata.  The reference's rkyv
+archives (`combined_sigma.rkyv` / `sigma_preprocess.rkyv`,
+`iotools/mod.rs:1703-1845`) are read/written by io/rkyv_crs.py;
+`load_sigma_any` below prefers an rkyv archive when one is present so the
+published reference CRS can be consumed directly.
 """
 
 from __future__ import annotations
@@ -76,6 +77,18 @@ def save_sigma(sigma: Sigma, path: str):
     }
     with open(os.path.join(path, "sigma_meta.json"), "w") as f:
         json.dump(meta, f)
+
+
+def load_sigma_any(path: str, params=None) -> Sigma:
+    """Load a CRS dir: prefer the reference rkyv archive, else the npz."""
+    rk = os.path.join(path, "combined_sigma.rkyv")
+    if os.path.exists(rk):
+        if params is None:
+            raise ValueError("loading combined_sigma.rkyv requires setup params")
+        from . import rkyv_crs
+
+        return rkyv_crs.read_combined_sigma(rk, params)
+    return load_sigma(path)
 
 
 def load_sigma(path: str) -> Sigma:
