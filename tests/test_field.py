@@ -126,3 +126,18 @@ def test_mont_canonical_conversion():
     mont = F.pack_fr(vals)
     canon = M.scalars_from_mont(np.asarray(mont))
     assert list(F.unpack_fr(np.asarray(canon), mont=False)) == vals
+
+
+def test_hashing_keccak_to_fr():
+    """`hashing()` parity with field_structures/mod.rs:11-23: keccak256,
+    mask the top 2 bits of byte 31, interpret little-endian."""
+    from tokamak_zk_evm_tpu.fields import R_MOD, hashing
+    from tokamak_zk_evm_tpu.host.keccak import keccak256
+
+    for seed in (b"", b"tokamak", bytes(range(100))):
+        d = bytearray(keccak256(seed))
+        d[31] &= 0x3F
+        want = int.from_bytes(bytes(d), "little")
+        got = hashing(seed)
+        assert got == want
+        assert 0 <= got < R_MOD  # 254-bit masked value always < r (255-bit)

@@ -159,6 +159,49 @@ def _mulm(a, b, mod, n0):
     return _cond_sub_top(t[:L], t[L], mod)
 
 
+def _mulm_fori(a, b, mod, n0):
+    """CIOS Montgomery multiply with the outer limb loop as a fori_loop.
+
+    Same math as _mulm but ~L x fewer traced ops: used inside FUSED kernels
+    (point adds) where ~20 inline multiplies would otherwise unroll to ~100k
+    vector instructions and blow up the (remote, uncached) Mosaic compile.
+    The j-loops stay unrolled — only their carry chain is sequential — and
+    a[i] is obtained by statically rolling a stacked limb array one step per
+    iteration (Pallas TPU has no in-kernel dynamic_slice lowering).
+    """
+    L = len(mod)
+    zero = _zero_like(a, b)
+
+    def body(i, carry_state):
+        a_st, t = carry_state
+        t = list(t)
+        ai = a_st[0]
+        carry = zero
+        for j in range(L):
+            cur = t[j] + ai * b[j] + carry
+            t[j] = cur & _M16
+            carry = cur >> 16
+        cur = t[L] + carry
+        t[L] = cur & _M16
+        t[L + 1] = t[L + 1] + (cur >> 16)
+        m = (t[0] * n0) & _M16
+        carry = (t[0] + m * mod[0]) >> 16
+        for j in range(1, L):
+            cur = t[j] + m * mod[j] + carry
+            t[j - 1] = cur & _M16
+            carry = cur >> 16
+        cur = t[L] + carry
+        t[L - 1] = cur & _M16
+        t[L] = t[L + 1] + (cur >> 16)
+        t[L + 1] = zero
+        a_st = jnp.concatenate([a_st[1:], a_st[:1]], axis=0)
+        return (a_st, tuple(t))
+
+    init = (jnp.stack(a), tuple([zero] * (L + 2)))
+    _, t = jax.lax.fori_loop(0, L, body, init)
+    return _cond_sub_top(list(t[:L]), t[L], mod)
+
+
 # ---------------------------------------------------------------------------
 # Elementwise kernels: [L, S, 128] blocks, batch flattened to sublanes x lanes
 # ---------------------------------------------------------------------------
@@ -831,6 +874,159 @@ def g1_to_affine(p):
 
 
 # ---------------------------------------------------------------------------
+# FUSED jacobian complete addition: the whole add-2007-bl + dbl-2009-l +
+# special-case selects in ONE Pallas kernel (~23 fori-looped CIOS muls).
+#
+# Motivation (measured on a v5e through the axon tunnel): composing point
+# adds from per-field-op pallas_calls costs ~25 kernel launches per add; a
+# 2^22 MSM issues ~60k launches and spends ~35 s in launch overhead while
+# the arithmetic itself is ~1 s.  One fused kernel per merge-tree level
+# removes that entirely.
+# ---------------------------------------------------------------------------
+
+
+def _jac_add_block(p1, p2):
+    """Complete jacobian add on limb lists (shared by kernel + interpret).
+
+    Z == 0 encodes infinity.  Returns limb lists (X3, Y3, Z3)."""
+    mod, n0 = _FQ_MOD, _FQ_N0
+    X1, Y1, Z1 = p1
+    X2, Y2, Z2 = p2
+
+    def mul(a, b):
+        return _mulm_fori(a, b, mod, n0)
+
+    def is_zero(v):
+        z = v[0] == 0
+        for i in range(1, len(v)):
+            z = z & (v[i] == 0)
+        return z
+
+    Z1Z1 = mul(Z1, Z1)
+    Z2Z2 = mul(Z2, Z2)
+    U1 = mul(X1, Z2Z2)
+    U2 = mul(X2, Z1Z1)
+    S1 = mul(Y1, mul(Z2, Z2Z2))
+    S2 = mul(Y2, mul(Z1, Z1Z1))
+    H = _subm(U2, U1, mod)
+    R = _subm(S2, S1, mod)
+    HH = mul(H, H)
+    HHH = mul(H, HH)
+    V = mul(U1, HH)
+    RR = mul(R, R)
+    X3 = _subm(_subm(_subm(RR, HHH, mod), V, mod), V, mod)
+    Y3 = _subm(mul(R, _subm(V, X3, mod)), mul(S1, HHH), mod)
+    Z3 = mul(mul(Z1, Z2), H)
+
+    # doubling path (dbl-2009-l on P1)
+    A = mul(X1, X1)
+    Bv = mul(Y1, Y1)
+    C = mul(Bv, Bv)
+    t = _addm(X1, Bv, mod)
+    t = mul(t, t)
+    D = _subm(_subm(t, A, mod), C, mod)
+    D = _addm(D, D, mod)
+    E = _addm(_addm(A, A, mod), A, mod)
+    Fv = mul(E, E)
+    Xd = _subm(Fv, _addm(D, D, mod), mod)
+    C2 = _addm(C, C, mod)
+    C4 = _addm(C2, C2, mod)
+    C8 = _addm(C4, C4, mod)
+    Yd = _subm(mul(E, _subm(D, Xd, mod)), C8, mod)
+    YZ = mul(Y1, Z1)
+    Zd = _addm(YZ, YZ, mod)
+
+    inf1 = is_zero(Z1)
+    inf2 = is_zero(Z2)
+    h0 = is_zero(H)
+    r0 = is_zero(R)
+    use_dbl = (~inf1) & (~inf2) & h0 & r0
+    use_inf = (~inf1) & (~inf2) & h0 & (~r0)
+    zero = jnp.zeros_like(X1[0])
+
+    def sel(cond, a, b):
+        return [jnp.where(cond, a[i], b[i]) for i in range(len(a))]
+
+    zeros = [zero] * len(mod)
+    oX = sel(inf1, X2, sel(inf2, X1, sel(use_dbl, Xd, sel(use_inf, zeros, X3))))
+    oY = sel(inf1, Y2, sel(inf2, Y1, sel(use_dbl, Yd, sel(use_inf, zeros, Y3))))
+    oZ = sel(inf1, Z2, sel(inf2, Z1, sel(use_dbl, Zd, sel(use_inf, zeros, Z3))))
+    return oX, oY, oZ
+
+
+@functools.lru_cache(maxsize=None)
+def _jac_add_fused_fn(s_total):
+    L = FQ_L
+
+    def kernel(x1, y1, z1, x2, y2, z2, ox, oy, oz):
+        p1 = ([x1[i] for i in range(L)], [y1[i] for i in range(L)],
+              [z1[i] for i in range(L)])
+        p2 = ([x2[i] for i in range(L)], [y2[i] for i in range(L)],
+              [z2[i] for i in range(L)])
+        X3, Y3, Z3 = _jac_add_block(p1, p2)
+        for i in range(L):
+            ox[i] = X3[i]
+            oy[i] = Y3[i]
+            oz[i] = Z3[i]
+
+    # small sublane blocks: the fused add holds ~30 live limb lists (24 x
+    # [sb, 128] each); sb=16 keeps the kernel's scoped-VMEM stack well under
+    # the 16 MB limit (sb=64 OOMs at ~27 MB)
+    sb = min(16, s_total)
+    blk = pl.BlockSpec((L, sb, LANES), lambda i: (0, i, 0),
+                       memory_space=pltpu.VMEM)
+    fn = pl.pallas_call(
+        kernel,
+        grid=(s_total // sb,),
+        in_specs=[blk] * 6,
+        out_specs=[blk] * 3,
+        out_shape=[jax.ShapeDtypeStruct((L, s_total, LANES), jnp.uint32)] * 3,
+        interpret=_INTERPRET,
+    )
+    return jax.jit(fn)
+
+
+def g1_add_fused(p1, p2):
+    """Batched complete jacobian add, one kernel launch: (X,Y,Z) [24, B]."""
+    X1, Y1, Z1 = p1
+    X2, Y2, Z2 = p2
+    B = X1.shape[1]
+    args = []
+    for c in (X1, Y1, Z1, X2, Y2, Z2):
+        cb, _ = _to_blocks(c, FQ_L)
+        args.append(cb)
+    s_total = args[0].shape[1]
+    ox, oy, oz = _jac_add_fused_fn(s_total)(*args)
+    return (
+        _from_blocks(ox, B), _from_blocks(oy, B), _from_blocks(oz, B)
+    )
+
+
+def _jac_inf_cols(B):
+    z = jnp.zeros((FQ_L, B), jnp.uint32)
+    return (z, z, z)
+
+
+def _jac_tree_sum(p):
+    """Reduce (X [24, n], Y, Z) to one column by fused-add halving."""
+    X, Y, Z = p
+    n = X.shape[1]
+    while n > 1:
+        if n % 2 == 1:
+            iX, iY, iZ = _jac_inf_cols(1)
+            X = jnp.concatenate([X, iX], axis=1)
+            Y = jnp.concatenate([Y, iY], axis=1)
+            Z = jnp.concatenate([Z, iZ], axis=1)
+            n += 1
+        h = n // 2
+        X, Y, Z = g1_add_fused(
+            (X[:, :h], Y[:, :h], Z[:, :h]), (X[:, h:], Y[:, h:], Z[:, h:])
+        )
+        n = h
+    return X, Y, Z
+
+
+# ---------------------------------------------------------------------------
 # Pippenger MSM (sort + leftover-flush merge tree, all-affine)
 # ---------------------------------------------------------------------------
 
@@ -848,6 +1044,17 @@ def _scatter_row(keys, x, y, inf):
     ry = ry.at[:, keys].set(y)
     rinf = rinf.at[keys].set(inf)
     return rx, ry, rinf
+
+
+def _scatter_row_jac(keys, X, Y, Z):
+    """Scatter jacobian columns into a fresh [24, NB+1] bucket row (unique
+    keys); untouched buckets stay Z=0 = infinity."""
+    rX = jnp.zeros((FQ_L, _NB + 1), jnp.uint32)
+    rY = jnp.zeros((FQ_L, _NB + 1), jnp.uint32)
+    rZ = jnp.zeros((FQ_L, _NB + 1), jnp.uint32)
+    return (
+        rX.at[:, keys].set(X), rY.at[:, keys].set(Y), rZ.at[:, keys].set(Z)
+    )
 
 
 @functools.lru_cache(maxsize=None)
@@ -871,57 +1078,60 @@ def _msm_windows_fn(n):
     """
 
     def window_body(carry, digits):
-        xp, yp, infp = carry
+        xp, yp, zp, infp = carry
         key = jnp.where(infp.astype(bool), jnp.uint32(_DUMMY), digits)
         order = jnp.argsort(key)
         key = key[order]
-        x = xp[:, order]
-        y = yp[:, order]
-        inf = infp[order]
+        X = xp[:, order]
+        Y = yp[:, order]
+        Z = zp[:, order]
 
-        bx, by, binf = _aff_inf(_NB + 1)
+        zero24 = jnp.zeros((FQ_L, _NB + 1), jnp.uint32)
+        bX, bY, bZ = zero24, zero24, zero24  # Z=0 everywhere = all-infinity
         m = n
         while m > 1:
             kl, kr = key[0::2], key[1::2]
-            left = (x[:, 0::2], y[:, 0::2], inf[0::2])
-            right = (x[:, 1::2], y[:, 1::2], inf[1::2])
-            same = kl == kr
-            mx, my, minf = _affine_add(left, right)
-            x = jnp.where(same[None, :], mx, right[0])
-            y = jnp.where(same[None, :], my, right[1])
-            inf = jnp.where(same, minf, right[2])
+            left = (X[:, 0::2], Y[:, 0::2], Z[:, 0::2])
+            right = (X[:, 1::2], Y[:, 1::2], Z[:, 1::2])
+            same = (kl == kr)[None, :]
+            mX, mY, mZ = g1_add_fused(left, right)
+            X = jnp.where(same, mX, right[0])
+            Y = jnp.where(same, mY, right[1])
+            Z = jnp.where(same, mZ, right[2])
             key = kr
-            lk = jnp.where(same, jnp.uint32(_DUMMY), kl)
-            linf = jnp.where(same, jnp.uint32(1), left[2])
-            rx, ry, rinf = _scatter_row(lk, left[0], left[1], linf)
-            bx, by, binf = _affine_add((bx, by, binf), (rx, ry, rinf))
+            lk = jnp.where(same[0], jnp.uint32(_DUMMY), kl)
+            lZ = jnp.where(same, jnp.zeros_like(left[2]), left[2])
+            row = _scatter_row_jac(lk, left[0], left[1], lZ)
+            bX, bY, bZ = g1_add_fused((bX, bY, bZ), row)
             m //= 2
         # final survivor
-        fk = jnp.where(inf.astype(bool), jnp.uint32(_DUMMY), key)
-        rx, ry, rinf = _scatter_row(fk, x, y, inf)
-        bx, by, binf = _affine_add((bx, by, binf), (rx, ry, rinf))
+        fk = jnp.where(_is_zero_cols(Z), jnp.uint32(_DUMMY), key)
+        row = _scatter_row_jac(fk, X, Y, Z)
+        bX, bY, bZ = g1_add_fused((bX, bY, bZ), row)
 
         # weighted bucket sum over buckets 0.._NB-1 (bucket 0 has weight 0;
         # the DUMMY bucket is sliced off)
-        bx, by, binf = bx[:, :_NB], by[:, :_NB], binf[:_NB]
-        sxs, sys, sinfs = [], [], []
+        bX, bY, bZ = bX[:, :_NB], bY[:, :_NB], bZ[:, :_NB]
+        sXs, sYs, sZs = [], [], []
         nb = _NB
         while nb > 1:
-            ev = (bx[:, 0::2], by[:, 0::2], binf[0::2])
-            od = (bx[:, 1::2], by[:, 1::2], binf[1::2])
-            sx, sy, sinf = _affine_tree_sum(od)
-            sxs.append(sx[:, 0])
-            sys.append(sy[:, 0])
-            sinfs.append(sinf[0])
-            bx, by, binf = _affine_add(ev, od)
+            ev = (bX[:, 0::2], bY[:, 0::2], bZ[:, 0::2])
+            od = (bX[:, 1::2], bY[:, 1::2], bZ[:, 1::2])
+            sX, sY, sZ = _jac_tree_sum(od)
+            sXs.append(sX[:, 0])
+            sYs.append(sY[:, 0])
+            sZs.append(sZ[:, 0])
+            bX, bY, bZ = g1_add_fused(ev, od)
             nb //= 2
-        return carry, (jnp.stack(sxs), jnp.stack(sys), jnp.stack(sinfs))
+        return carry, (jnp.stack(sXs), jnp.stack(sYs), jnp.stack(sZs))
 
     def run(scalars, xp, yp, infp):
-        _, (sx, sy, sinf) = jax.lax.scan(
-            window_body, (xp, yp, infp), scalars
+        one = jnp.broadcast_to(jnp.asarray(_one_col_np("fq")), xp.shape)
+        zp = jnp.where(infp[None, :].astype(bool), jnp.zeros_like(one), one)
+        _, (sX, sY, sZ) = jax.lax.scan(
+            window_body, (xp, yp, zp, infp), scalars
         )
-        return sx, sy, sinf
+        return sX, sY, sZ
 
     return jax.jit(run)
 
@@ -944,20 +1154,18 @@ def g1_msm(scalars, px, py, pinf):
     yp = jnp.pad(py, ((0, 0), (0, n - N)))
     infp = jnp.pad(pinf, (0, n - N), constant_values=1)
     sc = jnp.pad(scalars.astype(jnp.uint32), ((0, 0), (0, n - N)))
-    sx, sy, sinf = _msm_windows_fn(n)(sc, xp, yp, infp)
-    sxh, syh, sinfh = np.asarray(sx), np.asarray(sy), np.asarray(sinf)
+    sX, sY, sZ = _msm_windows_fn(n)(sc, xp, yp, infp)
+    sXh, sYh, sZh = np.asarray(sX), np.asarray(sY), np.asarray(sZ)
     exps, pts = [], []
     for wi in range(FR_L):
-        for lev in range(sxh.shape[1]):
+        for lev in range(sXh.shape[1]):
             exps.append(_WBITS * wi + lev)
-            if sinfh[wi, lev]:
-                pts.append(None)
-            else:
-                pts.append((
-                    FQ.from_mont(FQ.from_limbs(sxh[wi, lev])),
-                    FQ.from_mont(FQ.from_limbs(syh[wi, lev])),
-                ))
-    X, Y, Z = G1.msm_pow2(exps, pts)  # jacobian host tuple (Z=0 at infinity)
+            pts.append((
+                FQ.from_mont(FQ.from_limbs(sXh[wi, lev])),
+                FQ.from_mont(FQ.from_limbs(sYh[wi, lev])),
+                FQ.from_mont(FQ.from_limbs(sZh[wi, lev])),
+            ))
+    X, Y, Z = G1.msm_pow2_jac(exps, pts)  # jacobian host tuple (Z=0 at inf)
     rows = np.zeros((3, FQ_L), np.uint32)
     rows[0] = FQ.to_limbs(FQ.to_mont(X))
     rows[1] = FQ.to_limbs(FQ.to_mont(Y))
@@ -1032,9 +1240,10 @@ def _fixed_base_apply_fn(B):
     NWIN = 32
 
     def body(carry, xs):
-        ax, ay, ainf = carry
         txr, tyr, tir, d = xs
-        return _affine_add((ax, ay, ainf), (txr[:, d], tyr[:, d], tir[d])), None
+        one = jnp.broadcast_to(jnp.asarray(_one_col_np("fq")), carry[0].shape)
+        z2 = jnp.where(tir[d][None, :].astype(bool), jnp.zeros_like(one), one)
+        return g1_add_fused(carry, (txr[:, d], tyr[:, d], z2)), None
 
     def run(scalars, txd, tyd, tinfd):
         digits = jnp.stack(
@@ -1049,12 +1258,7 @@ def _fixed_base_apply_fn(B):
             tinfd,  # [32, 256]
             digits,
         )
-        (ax, ay, ainf), _ = jax.lax.scan(body, _aff_inf(B), xs)
-        one = jnp.broadcast_to(jnp.asarray(_one_col_np("fq")), ax.shape)
-        iswap = ainf[None, :].astype(bool)
-        Z = jnp.where(iswap, jnp.zeros_like(one), one)
-        X = jnp.where(iswap, one, ax)
-        Y = jnp.where(iswap, one, ay)
+        (X, Y, Z), _ = jax.lax.scan(body, _jac_inf_cols(B), xs)
         return X, Y, Z
 
     return jax.jit(run)

@@ -103,14 +103,19 @@ def cmd_prove(args) -> int:
     mixer = Mixer.zero() if args.deterministic else Mixer.random(secure_rng())
     t0 = time.time()
     prover = Prover(
-        params, sigma, library, infos, placements, permutation, instance, mixer=mixer
+        params, sigma, library, infos, placements, permutation, instance,
+        mixer=mixer, testing_mode=args.testing_mode,
     )
-    proof, _proof4t = prover.prove()
+    proof, proof4t = prover.prove()
     _log(f"[prove] done in {time.time() - t0:.1f}s")
     os.makedirs(args.output, exist_ok=True)
     out = os.path.join(args.output, "proof.json")
     art.save_proof_solidity(proof, out)
     _log(f"[prove] written to {out}")
+    if args.testing_mode:
+        p4t_out = os.path.join(args.output, "proof4_test.json")
+        art.save_proof4test(proof4t, p4t_out)
+        _log(f"[prove] testing-mode components written to {p4t_out}")
     return 0
 
 
@@ -123,7 +128,19 @@ def cmd_verify(args) -> int:
     pre = art.load_preprocess_solidity(os.path.join(args.preprocess, "preprocess.json"))
     proof = art.load_proof_solidity(os.path.join(args.proof, "proof.json"))
     instance = art.load_instance(os.path.join(args.synthesizer, "instance.json"))
-    ok = Verifier(params, sigma, pre, instance, proof).verify_snark()
+    verifier = Verifier(params, sigma, pre, instance, proof)
+    ok = verifier.verify_snark()
+    # decomposed testing-mode checks when the prover emitted proof4_test.json
+    # (`verify-rust/src/lib.rs:291-352`)
+    p4t_path = os.path.join(args.proof, "proof4_test.json")
+    if os.path.exists(p4t_path):
+        p4t = art.load_proof4test(p4t_path)
+        for name, fn in (("arith", verifier.verify_arith),
+                         ("copy", verifier.verify_copy),
+                         ("binding", verifier.verify_binding)):
+            res = fn(p4t)
+            _log(f"[verify] decomposed {name} check: {res}")
+            ok = ok and res
     print("true" if ok else "false")
     return 0 if ok else 1
 
@@ -180,6 +197,9 @@ def build_parser() -> argparse.ArgumentParser:
     s.add_argument("--output", required=True)
     s.add_argument("--deterministic", action="store_true",
                    help="zero blinding scalars (bit-exact proofs for testing)")
+    s.add_argument("--testing-mode", action="store_true",
+                   help="run in-round protocol identity asserts and emit "
+                        "proof4_test.json (reference --features testing-mode)")
     s.set_defaults(fn=cmd_prove)
 
     s = sub.add_parser("verify", help="verify a proof")

@@ -198,3 +198,14 @@ def fr_from_hex(h: str) -> int:
 
 def fr_to_hex(x: int) -> str:
     return hex(x % R_MOD)
+
+
+def hashing(seed: bytes) -> int:
+    """Keccak256(seed) -> Fr element: the reference's `hashing()` helper
+    (`libs/src/field_structures/mod.rs:11-23`) — 32-byte digest, top two bits
+    of the last (most-significant little-endian) byte masked, read LE."""
+    from .host.keccak import keccak256
+
+    digest = bytearray(keccak256(bytes(seed)))
+    digest[31] &= 0b0011_1111
+    return int.from_bytes(bytes(digest), "little")

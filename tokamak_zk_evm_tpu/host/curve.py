@@ -223,6 +223,22 @@ class CurveGroup:
                 acc = self.add(acc, self.from_affine(pa))
         return acc
 
+    def msm_pow2_jac(self, exps, points_jac):
+        """msm_pow2 over jacobian input points (Z == 0 means infinity)."""
+        by_exp: dict = {}
+        for e, p in zip(exps, points_jac):
+            if self.F.is_zero(p[2]):
+                continue
+            by_exp.setdefault(int(e), []).append(p)
+        acc = self.infinity
+        if not by_exp:
+            return acc
+        for e in range(max(by_exp), -1, -1):
+            acc = self.double(acc)
+            for p in by_exp.get(e, ()):
+                acc = self.add(acc, p)
+        return acc
+
 
 G1 = CurveGroup(Fq, 4, (G1_GEN_X, G1_GEN_Y), "G1")
 G2 = CurveGroup(Fq2, (4, 4), (G2_GEN_X, G2_GEN_Y), "G2")

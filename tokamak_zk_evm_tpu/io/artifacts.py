@@ -470,3 +470,47 @@ def save_permutation(entries: list[PermutationEntry], path: str):
             [{"row": e.row, "col": e.col, "X": e.X, "Y": e.Y} for e in entries],
             f,
         )
+
+
+# ---------------------------------------------------------------------------
+# proof4_test.json — testing-mode decomposed proof components
+# (`prove/src/main.rs:83-90`; struct at `prove/src/lib.rs:661-672`, serialized
+# via the G1serde {x, y} hex JSON convention)
+# ---------------------------------------------------------------------------
+
+_P4T_FIELDS = (
+    "Pi_AX", "Pi_AY", "Pi_CX", "Pi_CY", "Pi_B", "M_X", "M_Y", "N_X", "N_Y",
+)
+
+
+def _g1_coords_json(p) -> dict:
+    x = p[0] if p is not None else 0
+    y = p[1] if p is not None else 0
+    return {"x": f"0x{x:096x}", "y": f"0x{y:096x}"}
+
+
+def _g1_coords_from_json(d) -> tuple | None:
+    x = parse_hex(d["x"])
+    y = parse_hex(d["y"])
+    return None if (x == 0 and y == 0) else (x, y)
+
+
+def save_proof4test(p4t, path: str):
+    from ..models.protocol import Proof4Test  # noqa: F401 (doc anchor)
+
+    with open(path, "w") as f:
+        json.dump(
+            {name: _g1_coords_json(getattr(p4t, name)) for name in _P4T_FIELDS},
+            f, indent=1,
+        )
+
+
+def load_proof4test(path: str):
+    from ..models.protocol import Proof4Test
+
+    with open(path) as f:
+        d = json.load(f)
+    missing = [n for n in _P4T_FIELDS if n not in d]
+    if missing:
+        raise ValueError(f"proof4_test.json missing fields: {missing}")
+    return Proof4Test(**{n: _g1_coords_from_json(d[n]) for n in _P4T_FIELDS})

@@ -193,7 +193,12 @@ class Prover:
         instance: Instance,
         mixer: Mixer | None = None,
         rng=None,
+        testing_mode: bool = False,
     ):
+        import os as _os
+
+        self.testing_mode = testing_mode or _os.environ.get("TZK_TESTING_MODE") == "1"
+        self._test_rng = np.random.default_rng(0x7E57)
         params.validate()
         self.params = params
         self.sigma = sigma
@@ -268,12 +273,90 @@ class Prover:
     def _encode(self, poly: BiPoly):
         return encode_poly(self.sigma, poly, self.params)
 
+    # -- in-round testing-mode checks (reference `--features testing-mode`,
+    # prove/src/lib.rs:1473-1546, 1864-1920, 2591-2606) ------------------
+    def _test_point(self) -> tuple[int, int]:
+        r = self._test_rng
+        return (
+            int.from_bytes(r.bytes(32), "little") % R_MOD,
+            int.from_bytes(r.bytes(32), "little") % R_MOD,
+        )
+
+    def _check_r1cs_evals(self):
+        """u*v == w on the (n, s_max) rou grid (lib.rs:1473-1518)."""
+        import sys
+
+        ue = self.uXY.to_rou_evals()
+        ve = self.vXY.to_rou_evals()
+        we = self.wXY.to_rou_evals()
+        bad = np.asarray(
+            jnp.any(jnp.any(F.fr_mul(ue, ve) != we, axis=0), axis=0)
+        )  # per-column (placement) flags
+        if bad.any():
+            cols = np.nonzero(bad)[0].tolist()
+            raise AssertionError(
+                f"testing-mode: placements {cols} do not satisfy R1CS"
+            )
+        print("Checked: Evaluations of u(X,Y), v(X,Y), and w(X,Y) satisfy "
+              "R1CS.", file=sys.stderr)
+
+    def _check_vanishing_division(self, p, qx, qy, c, d, tag):
+        """p(e) == qx(e)*(xe^c - 1) + qy(e)*(ye^d - 1) at a random point
+        (lib.rs:1533-1546)."""
+        import sys
+
+        xe, ye = self._test_point()
+        lhs = p.eval(xe, ye)
+        rhs = (
+            qx.eval(xe, ye) * ((pow(xe, c, R_MOD) - 1) % R_MOD)
+            + qy.eval(xe, ye) * ((pow(ye, d, R_MOD) - 1) % R_MOD)
+        ) % R_MOD
+        if lhs != rhs:
+            raise AssertionError(f"testing-mode: {tag} vanishing-division identity fails")
+        print(f"Checked: {tag} satisfies the vanishing-division identity.",
+              file=sys.stderr)
+
+    def _check_grand_product(self, r_flat, f_t, g_t):
+        """r_t[i] * f_t[i+1] == r_t[i+1] * g_t[i+1] over the transposed
+        (placement-major) order, plus r_t[last] == 1 (lib.rs:1864-1920)."""
+        import sys
+
+        lhs = F.fr_mul(r_flat[:, :-1], f_t[:, 1:])
+        rhs = F.fr_mul(r_flat[:, 1:], g_t[:, 1:])
+        ok1 = bool(np.asarray(jnp.all(lhs == rhs)))
+        one = jnp.asarray(F.fr_mont(1))
+        ok2 = bool(np.asarray(jnp.all(r_flat[:, -1:] == one)))
+        if not (ok1 and ok2):
+            raise AssertionError("testing-mode: grand product r(X,Y) malformed")
+        print("Checked: r(X,Y) is well constructed.", file=sys.stderr)
+
+    def _check_ruffini(self, num, qx, qy, rem, a, b, tag):
+        """num(e) == qx(e)*(xe - a) + qy(e)*(ye - b) + rem, rem == 0
+        (lib.rs:2591-2606)."""
+        import sys
+
+        if rem % R_MOD != 0:
+            raise AssertionError(f"testing-mode: {tag} ruffini remainder != 0")
+        xe, ye = self._test_point()
+        lhs = num.eval(xe, ye)
+        rhs = (
+            qx.eval(xe, ye) * ((xe - a) % R_MOD)
+            + qy.eval(xe, ye) * ((ye - b) % R_MOD)
+        ) % R_MOD
+        if lhs != rhs:
+            raise AssertionError(f"testing-mode: {tag} ruffini identity fails")
+        print(f"Checked: {tag} satisfies the Ruffini identity.", file=sys.stderr)
+
     # -- round 0 (lib.rs:1446-1782) ------------------------------------
     def prove0(self) -> Proof0:
         sp, mix = self.params, self.mixer
         n, s_max = sp.n, sp.s_max
+        if self.testing_mode:
+            self._check_r1cs_evals()
         p0 = self.uXY * self.vXY - self.wXY
         self.q0, self.q1 = p0.div_by_vanishing_opt(n, s_max)
+        if self.testing_mode:
+            self._check_vanishing_division(p0, self.q0, self.q1, n, s_max, "p0")
 
         rW_X = BiPoly.from_ints([[c % R_MOD] for c in mix.rW_X])
         rW_Y = BiPoly.from_ints([[c % R_MOD for c in mix.rW_Y]])
@@ -343,6 +426,10 @@ class Prover:
         suffix = F.fr_suffix_prod(st)
         one = jnp.asarray(F.fr_mont(1))
         r_flat = jnp.concatenate([suffix[:, 1:], one], axis=1)
+        if self.testing_mode:
+            ft = flat_f.reshape(L, m_i, s_max).transpose(0, 2, 1).reshape(L, -1)
+            gt = flat_g.reshape(L, m_i, s_max).transpose(0, 2, 1).reshape(L, -1)
+            self._check_grand_product(r_flat, ft, gt)
         r_grid = r_flat.reshape(L, s_max, m_i).transpose(0, 2, 1)
         self.rXY = BiPoly.from_rou_evals(r_grid)
 
@@ -398,6 +485,10 @@ class Prover:
         )
         p_comb = BiPoly.from_rou_evals(comb)
         self.q2, self.q3 = p_comb.div_by_vanishing_opt(m_i, s_max)
+        if self.testing_mode:
+            self._check_vanishing_division(
+                p_comb, self.q2, self.q3, m_i, s_max, "p_comb"
+            )
 
         r_D1 = self.rXY - r_omegaX
         r_D2 = self.rXY - r_omegaX_omegaY
@@ -484,19 +575,30 @@ class Prover:
             + rW_Y.mul_scalar(t_smax_eval)
             + W_zk.mul_scalar(minus_one)
         )
-        Pi_AX_XY, Pi_AY_XY, _ = pA.div_by_ruffini(chi, zeta)
+        Pi_AX_XY, Pi_AY_XY, rem_a = pA.div_by_ruffini(chi, zeta)
+        if self.testing_mode:
+            self._check_ruffini(pA, Pi_AX_XY, Pi_AY_XY, rem_a, chi, zeta, "Pi_A")
         Pi_AX = self._encode(Pi_AX_XY)
         Pi_AY = self._encode(Pi_AY_XY)
 
         # --- M, N: R-shift opening quotients (lib.rs:2534-2701)
         RXY = self.rXY + self.t_mi.mul_scalar(mix.rR_X) + self.t_smax.mul_scalar(mix.rR_Y)
         M_num = RXY - proof3.R_omegaX_eval
-        M_X_XY, M_Y_XY, _ = M_num.div_by_ruffini((w_mi_inv * chi) % R_MOD, zeta)
+        M_X_XY, M_Y_XY, rem_m = M_num.div_by_ruffini((w_mi_inv * chi) % R_MOD, zeta)
+        if self.testing_mode:
+            self._check_ruffini(
+                M_num, M_X_XY, M_Y_XY, rem_m, (w_mi_inv * chi) % R_MOD, zeta, "M"
+            )
         M_X, M_Y = self._encode(M_X_XY), self._encode(M_Y_XY)
         N_num = RXY - proof3.R_omegaX_omegaY_eval
-        N_X_XY, N_Y_XY, _ = N_num.div_by_ruffini(
+        N_X_XY, N_Y_XY, rem_n = N_num.div_by_ruffini(
             (w_mi_inv * chi) % R_MOD, (w_smax_inv * zeta) % R_MOD
         )
+        if self.testing_mode:
+            self._check_ruffini(
+                N_num, N_X_XY, N_Y_XY, rem_n, (w_mi_inv * chi) % R_MOD,
+                (w_smax_inv * zeta) % R_MOD, "N",
+            )
         N_X, N_Y = self._encode(N_X_XY), self._encode(N_Y_XY)
 
         # --- Pi_C: copy-claim opening quotient (lib.rs:2703-3130)
@@ -571,7 +673,11 @@ class Prover:
             + LHS_zk2.mul_scalar((k1_2 * kappa0 * kappa0) % R_MOD)
             + R_minus_eval.mul_scalar(k1_3)
         )
-        Pi_CX_XY, Pi_CY_XY, _ = LHS_for_copy.div_by_ruffini(chi, zeta)
+        Pi_CX_XY, Pi_CY_XY, rem_c = LHS_for_copy.div_by_ruffini(chi, zeta)
+        if self.testing_mode:
+            self._check_ruffini(
+                LHS_for_copy, Pi_CX_XY, Pi_CY_XY, rem_c, chi, zeta, "Pi_C"
+            )
         Pi_CX, Pi_CY = self._encode(Pi_CX_XY), self._encode(Pi_CY_XY)
 
         # --- Pi_B: binding opening (lib.rs:3137-3181)
