@@ -3,6 +3,7 @@ step 9): distributed bivariate NTT (all-to-all transpose) and distributed MSM
 (points sharded, one partial point per chip)."""
 
 import jax
+import pytest
 import jax.numpy as jnp
 import numpy as np
 
@@ -48,4 +49,40 @@ def test_msm_dist_matches_oracle():
     s = msm_mod.scalars_from_ints(scalars)
     got = msm_dist.msm_dist(s, px, py, pinf, mesh)
     want = C.G1.msm_affine(scalars, pts)
+    assert got == want
+
+
+@pytest.mark.slow
+def test_bintt_dist_full_shape():
+    """Sharded bivariate NTT at the REAL prover domain (16384x512 = 2^23,
+    `utils/mod.rs:51-58`) on the 8-device mesh, vs the single-device kernel
+    (VERDICT r1 item 5: multi-chip at full shape, not toy grids)."""
+    mesh = make_mesh(8)
+    x_size, y_size = 16384, 512
+    rng = np.random.default_rng(5)
+    # random u32 limb grid reduced mod r via device mul by one (cheap, exact)
+    raw = rng.integers(0, 1 << 16, (16, x_size, y_size), dtype=np.uint32)
+    grid = F.fr_mul(jnp.asarray(raw).reshape(16, -1),
+                    jnp.asarray(F.fr_mont(1))).reshape(16, x_size, y_size)
+    want = np.asarray(ntt_mod.bintt(grid))
+    got = np.asarray(ntt_dist.bintt_dist(grid, mesh))
+    assert (got == want).all()
+    back = np.asarray(ntt_dist.bintt_dist(jnp.asarray(got), mesh, inverse=True))
+    assert (back == np.asarray(grid)).all()
+
+
+@pytest.mark.slow
+def test_msm_dist_large():
+    """Points-sharded MSM at 2^16 with the O(1) oracle
+    (sum k_i * (c_i * G) == (sum k_i * c_i) * G)."""
+    mesh = make_mesh(8)
+    N = 1 << 16
+    rng = np.random.default_rng(6)
+    cs = [int.from_bytes(rng.bytes(32), "little") % R_MOD for _ in range(N)]
+    fam = msm_mod.fixed_base_msm_points(cs, C.G1.gen)
+    ks = [int.from_bytes(rng.bytes(32), "little") % R_MOD for _ in range(N)]
+    s = msm_mod.scalars_from_ints(ks)
+    got = msm_dist.msm_dist(s, *fam, mesh)
+    total = sum(k * c for k, c in zip(ks, cs)) % R_MOD
+    want = C.g1_scalar_mul_affine(C.G1.gen, total)
     assert got == want

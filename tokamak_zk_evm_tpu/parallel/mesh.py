@@ -22,13 +22,15 @@ def make_mesh(n_devices: int | None = None) -> jax.sharding.Mesh:
 
 
 def row_sharding(mesh):
-    """Shard axis 0 (X rows) of a [x, y, L] grid across the mesh."""
+    """Shard the X-row axis of a limb-major [16, x, y] grid across the mesh
+    (matches bintt_dist's in_specs)."""
     return jax.sharding.NamedSharding(
-        mesh, jax.sharding.PartitionSpec(AXIS, None, None)
+        mesh, jax.sharding.PartitionSpec(None, AXIS, None)
     )
 
 
 def col_sharding(mesh):
+    """Shard the Y-column axis of a limb-major [16, x, y] grid."""
     return jax.sharding.NamedSharding(
-        mesh, jax.sharding.PartitionSpec(None, AXIS, None)
+        mesh, jax.sharding.PartitionSpec(None, None, AXIS)
     )
