@@ -272,6 +272,30 @@ def bench_prims():
     timeit("sort+slice 2^21 u32", lambda: jnp.sort(sk))
 
 
+
+def bench_fused():
+    """Microbench the fused jacobian add at MSM-relevant widths."""
+    rng = np.random.default_rng(8)
+    from tokamak_zk_evm_tpu.backend import pallas_kernels as P
+
+    for logn in (17, 20, 21):
+        B = 1 << logn
+        args = [
+            jnp.asarray(rng.integers(0, 1 << 16, (24, B), dtype=np.uint32))
+            for _ in range(6)
+        ]
+        p1, p2 = tuple(args[:3]), tuple(args[3:])
+        out = P.g1_add_fused(p1, p2)
+        jax.tree_util.tree_map(lambda a: a.block_until_ready(), list(out))
+        t0 = time.time()
+        iters = 5
+        for _ in range(iters):
+            out = P.g1_add_fused(p1, p2)
+        np.asarray(out[0][:, :1])  # force completion through the tunnel
+        dt = (time.time() - t0) / iters
+        log(f"[fused] jac add 2^{logn}: {dt*1e3:.2f} ms "
+            f"({B/dt/1e6:.1f} Madds/s, {B*23/dt/1e9:.2f} Gmul/s-equiv)")
+
 if __name__ == "__main__":
     what = sys.argv[1] if len(sys.argv) > 1 else "all"
     log(f"platform: {jax.default_backend()}, devices: {jax.devices()}")
@@ -285,6 +309,8 @@ if __name__ == "__main__":
         check_curve()
     if what in ("msmbench",):
         bench_msm()
+    if what in ("fusedbench",):
+        bench_fused()
     if what in ("prims", "all"):
         bench_prims()
     log("DONE")

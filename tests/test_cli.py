@@ -82,3 +82,31 @@ def test_cli_verify_rejects_tampered(staged, capsys):
 def test_cli_doctor(capsys):
     assert main(["doctor"]) == 0
     assert capsys.readouterr().out.strip().splitlines()[-1] == "true"
+
+
+def test_cli_mpc_ceremony(staged, tmp_path, capsys):
+    """Full MPC ceremony through the CLI: phase1 init -> contribute -> verify
+    -> phase2 prepare -> contribute -> prove+verify on the ceremony CRS."""
+    _root, lib, synth, _fx = staged
+    out = str(tmp_path)
+    a0, a1, p1 = f"{out}/acc0.json", f"{out}/acc1.json", f"{out}/p1.json"
+    assert main(["mpc", "phase1-init", "--library", lib, "--output", a0]) == 0
+    assert main(["mpc", "phase1-contribute", "--acc", a0, "--output", a1,
+                 "--proof", p1]) == 0
+    assert main(["mpc", "phase1-verify", "--prev", a0, "--cur", a1,
+                 "--proof", p1]) == 0
+    crs0, crs1 = f"{out}/crs0", f"{out}/crs1"
+    assert main(["mpc", "phase2-prepare", "--acc", a1, "--library", lib,
+                 "--y-hex", "0xabc123", "--output", crs0]) == 0
+    assert main(["mpc", "phase2-contribute", "--crs", crs0,
+                 "--output", crs1]) == 0
+    pre, prf = f"{out}/pre", f"{out}/prf"
+    assert main(["preprocess", "--crs", crs1, "--library", lib,
+                 "--synthesizer", synth, "--output", pre]) == 0
+    assert main(["prove", "--crs", crs1, "--library", lib,
+                 "--synthesizer", synth, "--output", prf,
+                 "--deterministic"]) == 0
+    rc = main(["verify", "--crs", crs1, "--library", lib, "--preprocess", pre,
+               "--proof", prf, "--synthesizer", synth])
+    out_lines = capsys.readouterr().out.strip().splitlines()
+    assert rc == 0 and out_lines[-1] == "true"

@@ -159,23 +159,26 @@ def _mulm(a, b, mod, n0):
     return _cond_sub_top(t[:L], t[L], mod)
 
 
-def _mulm_fori(a, b, mod, n0):
+def _mulm_fori(a, b, mod, n0, scratch):
     """CIOS Montgomery multiply with the outer limb loop as a fori_loop.
 
     Same math as _mulm but ~L x fewer traced ops: used inside FUSED kernels
     (point adds) where ~20 inline multiplies would otherwise unroll to ~100k
     vector instructions and blow up the (remote, uncached) Mosaic compile.
     The j-loops stay unrolled — only their carry chain is sequential — and
-    a[i] is obtained by statically rolling a stacked limb array one step per
-    iteration (Pallas TPU has no in-kernel dynamic_slice lowering).
+    a[i] is staged through a VMEM scratch ref and read back by dynamic index
+    (Pallas TPU lowers dynamic ref loads on the untiled leading dim, but has
+    no value-level dynamic_slice; a concatenate-roll alternative moves the
+    whole stacked array every iteration and is ~10x slower).
     """
     L = len(mod)
     zero = _zero_like(a, b)
+    for i in range(L):
+        scratch[i] = a[i]
 
-    def body(i, carry_state):
-        a_st, t = carry_state
+    def body(i, t):
         t = list(t)
-        ai = a_st[0]
+        ai = scratch[i]
         carry = zero
         for j in range(L):
             cur = t[j] + ai * b[j] + carry
@@ -194,11 +197,9 @@ def _mulm_fori(a, b, mod, n0):
         t[L - 1] = cur & _M16
         t[L] = t[L + 1] + (cur >> 16)
         t[L + 1] = zero
-        a_st = jnp.concatenate([a_st[1:], a_st[:1]], axis=0)
-        return (a_st, tuple(t))
+        return tuple(t)
 
-    init = (jnp.stack(a), tuple([zero] * (L + 2)))
-    _, t = jax.lax.fori_loop(0, L, body, init)
+    t = jax.lax.fori_loop(0, L, body, tuple([zero] * (L + 2)))
     return _cond_sub_top(list(t[:L]), t[L], mod)
 
 
@@ -885,16 +886,18 @@ def g1_to_affine(p):
 # ---------------------------------------------------------------------------
 
 
-def _jac_add_block(p1, p2):
+def _jac_add_block(p1, p2, scratch):
     """Complete jacobian add on limb lists (shared by kernel + interpret).
 
-    Z == 0 encodes infinity.  Returns limb lists (X3, Y3, Z3)."""
+    Z == 0 encodes infinity.  Returns limb lists (X3, Y3, Z3).  `scratch` is
+    a [24, S, 128] VMEM ref staging each multiplicand for dynamic-index
+    access inside the CIOS fori loop."""
     mod, n0 = _FQ_MOD, _FQ_N0
     X1, Y1, Z1 = p1
     X2, Y2, Z2 = p2
 
     def mul(a, b):
-        return _mulm_fori(a, b, mod, n0)
+        return _mulm_fori(a, b, mod, n0, scratch)
 
     def is_zero(v):
         z = v[0] == 0
@@ -958,12 +961,12 @@ def _jac_add_block(p1, p2):
 def _jac_add_fused_fn(s_total):
     L = FQ_L
 
-    def kernel(x1, y1, z1, x2, y2, z2, ox, oy, oz):
+    def kernel(x1, y1, z1, x2, y2, z2, ox, oy, oz, scratch):
         p1 = ([x1[i] for i in range(L)], [y1[i] for i in range(L)],
               [z1[i] for i in range(L)])
         p2 = ([x2[i] for i in range(L)], [y2[i] for i in range(L)],
               [z2[i] for i in range(L)])
-        X3, Y3, Z3 = _jac_add_block(p1, p2)
+        X3, Y3, Z3 = _jac_add_block(p1, p2, scratch)
         for i in range(L):
             ox[i] = X3[i]
             oy[i] = Y3[i]
@@ -981,6 +984,7 @@ def _jac_add_fused_fn(s_total):
         in_specs=[blk] * 6,
         out_specs=[blk] * 3,
         out_shape=[jax.ShapeDtypeStruct((L, s_total, LANES), jnp.uint32)] * 3,
+        scratch_shapes=[pltpu.VMEM((L, sb, LANES), jnp.uint32)],
         interpret=_INTERPRET,
     )
     return jax.jit(fn)
@@ -1108,32 +1112,67 @@ def _msm_windows_fn(n):
         fk = jnp.where(_is_zero_cols(Z), jnp.uint32(_DUMMY), key)
         row = _scatter_row_jac(fk, X, Y, Z)
         bX, bY, bZ = g1_add_fused((bX, bY, bZ), row)
-
-        # weighted bucket sum over buckets 0.._NB-1 (bucket 0 has weight 0;
-        # the DUMMY bucket is sliced off)
-        bX, bY, bZ = bX[:, :_NB], bY[:, :_NB], bZ[:, :_NB]
-        sXs, sYs, sZs = [], [], []
-        nb = _NB
-        while nb > 1:
-            ev = (bX[:, 0::2], bY[:, 0::2], bZ[:, 0::2])
-            od = (bX[:, 1::2], bY[:, 1::2], bZ[:, 1::2])
-            sX, sY, sZ = _jac_tree_sum(od)
-            sXs.append(sX[:, 0])
-            sYs.append(sY[:, 0])
-            sZs.append(sZ[:, 0])
-            bX, bY, bZ = g1_add_fused(ev, od)
-            nb //= 2
-        return carry, (jnp.stack(sXs), jnp.stack(sYs), jnp.stack(sZs))
+        # emit the bucket row (DUMMY bucket sliced off); the weighted bucket
+        # sum runs ONCE for all windows after the scan, batched on the
+        # window axis — inside the scan it costs 16x the kernel launches
+        return carry, (bX[:, :_NB], bY[:, :_NB], bZ[:, :_NB])
 
     def run(scalars, xp, yp, infp):
         one = jnp.broadcast_to(jnp.asarray(_one_col_np("fq")), xp.shape)
         zp = jnp.where(infp[None, :].astype(bool), jnp.zeros_like(one), one)
-        _, (sX, sY, sZ) = jax.lax.scan(
+        _, (bXs, bYs, bZs) = jax.lax.scan(
             window_body, (xp, yp, zp, infp), scalars
         )
-        return sX, sY, sZ
+        # [W, 24, NB] -> [24, W, NB]
+        bX = jnp.moveaxis(bXs, 0, 1)
+        bY = jnp.moveaxis(bYs, 0, 1)
+        bZ = jnp.moveaxis(bZs, 0, 1)
+        return _weighted_bucket_tail(bX, bY, bZ)
 
     return jax.jit(run)
+
+
+def _jac_tree_sum_last(p):
+    """Reduce (X [24, W, m], Y, Z) to [24, W] by fused-add halving along the
+    last axis (m a power of two), batching the window axis."""
+    X, Y, Z = p
+    L, W, m = X.shape
+    while m > 1:
+        h = m // 2
+        args1 = tuple(c[:, :, :h].reshape(L, W * h) for c in (X, Y, Z))
+        args2 = tuple(c[:, :, h:].reshape(L, W * h) for c in (X, Y, Z))
+        X, Y, Z = (c.reshape(L, W, h) for c in g1_add_fused(args1, args2))
+        m = h
+    return X[:, :, 0], Y[:, :, 0], Z[:, :, 0]
+
+
+def _weighted_bucket_tail(bX, bY, bZ):
+    """sum_b b * B[w, b] for every window at once via pair halving
+    (T(B) = 2*T(B_even + B_odd) + sum(B_odd)), deferring the 2^level
+    weighting to the host combine.  Input [24, W, NB]; returns per-window
+    per-level singles (sX, sY, sZ) each [W, NLEV, 24]."""
+    L, W, nb = bX.shape
+    sXs, sYs, sZs = [], [], []
+    while nb > 1:
+        ev = (bX[:, :, 0::2], bY[:, :, 0::2], bZ[:, :, 0::2])
+        od = (bX[:, :, 1::2], bY[:, :, 1::2], bZ[:, :, 1::2])
+        sX, sY, sZ = _jac_tree_sum_last(od)  # [24, W]
+        sXs.append(sX)
+        sYs.append(sY)
+        sZs.append(sZ)
+        h = nb // 2
+        args1 = tuple(c.reshape(L, W * h) for c in ev)
+        args2 = tuple(c.reshape(L, W * h) for c in od)
+        bX, bY, bZ = (
+            c.reshape(L, W, h) for c in g1_add_fused(args1, args2)
+        )
+        nb = h
+    # [NLEV, 24, W] -> [W, NLEV, 24]
+    return (
+        jnp.stack(sXs).transpose(2, 0, 1),
+        jnp.stack(sYs).transpose(2, 0, 1),
+        jnp.stack(sZs).transpose(2, 0, 1),
+    )
 
 
 def g1_msm(scalars, px, py, pinf):

@@ -145,6 +145,58 @@ def cmd_verify(args) -> int:
     return 0 if ok else 1
 
 
+def cmd_mpc(args) -> int:
+    """MPC ceremony flows (reference `native_mpc_setup`,
+    `setup/mpc-setup/src/flows/*`)."""
+    import json
+
+    from .io import artifacts as art, crs
+    from .models import mpc_setup as M
+    from .utils.rng import secure_rng
+
+    step = args.step
+    if step == "phase1-init":
+        params = art.load_setup_params(os.path.join(args.library, "setupParams.json"))
+        acc = M.Phase1Accumulator.initial(params)
+        acc.save(args.output)
+        _log(f"[mpc] initial phase-1 accumulator -> {args.output}")
+        return 0
+    if step == "phase1-contribute":
+        acc = M.Phase1Accumulator.load(args.acc)
+        new_acc, proof = acc.compute(secure_rng())
+        new_acc.save(args.output)
+        with open(args.proof, "w") as f:
+            json.dump(proof.to_json(), f)
+        _log(f"[mpc] contribution #{new_acc.contributor_index} -> "
+             f"{args.output} (proof {args.proof})")
+        return 0
+    if step == "phase1-verify":
+        prev = M.Phase1Accumulator.load(args.prev)
+        cur = M.Phase1Accumulator.load(args.cur)
+        with open(args.proof) as f:
+            proof = M.Phase1Proof.from_json(json.load(f))
+        ok = prev.verify(cur, proof)
+        print("true" if ok else "false")
+        return 0 if ok else 1
+    if step == "phase2-prepare":
+        params, infos, library = art.load_library(args.library)
+        acc = M.Phase1Accumulator.load(args.acc)
+        y = int(args.y_hex, 16)
+        sigma = M.phase2_prepare(acc, y, params, library, infos)
+        crs.save_sigma(sigma, args.output)
+        _log(f"[mpc] phase-2 prepared CRS (gamma=delta=eta=1) -> {args.output}")
+        return 0
+    if step == "phase2-contribute":
+        sigma = crs.load_sigma(args.crs)
+        new_sigma, proof = M.phase2_contribute(sigma, secure_rng())
+        crs.save_sigma(new_sigma, args.output)
+        with open(os.path.join(args.output, "phase2_proof.json"), "w") as f:
+            json.dump(proof.to_json(), f)
+        _log(f"[mpc] phase-2 contribution -> {args.output}")
+        return 0
+    raise SystemExit(f"unknown mpc step {step}")
+
+
 def cmd_doctor(_args) -> int:
     """Health check (`tokamak-cli --doctor`): platform, devices, kernels."""
     import jax
@@ -209,6 +261,21 @@ def build_parser() -> argparse.ArgumentParser:
     s.add_argument("--proof", required=True)
     s.add_argument("--synthesizer", required=True)
     s.set_defaults(fn=cmd_verify)
+
+    s = sub.add_parser("mpc", help="MPC setup ceremony (powers-of-tau)")
+    s.add_argument("step", choices=(
+        "phase1-init", "phase1-contribute", "phase1-verify",
+        "phase2-prepare", "phase2-contribute",
+    ))
+    s.add_argument("--library")
+    s.add_argument("--acc")
+    s.add_argument("--prev")
+    s.add_argument("--cur")
+    s.add_argument("--proof")
+    s.add_argument("--crs")
+    s.add_argument("--y-hex", help="public beacon value for y (phase2-prepare)")
+    s.add_argument("--output")
+    s.set_defaults(fn=cmd_mpc)
 
     s = sub.add_parser("doctor", help="environment health check")
     s.set_defaults(fn=cmd_doctor)

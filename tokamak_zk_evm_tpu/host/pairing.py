@@ -55,6 +55,9 @@ class Fq12:
     def from_fq(a: int):
         return Fq12((a,) + (0,) * 11)
 
+    def is_one(self) -> bool:
+        return self == Fq12.one()
+
     @staticmethod
     def from_fq2(a):
         """Embed a0 + a1*u with u = w^6 - 1:  (a0 - a1) + a1*w^6."""
