@@ -110,3 +110,35 @@ def test_cli_mpc_ceremony(staged, tmp_path, capsys):
                "--proof", prf, "--synthesizer", synth])
     out_lines = capsys.readouterr().out.strip().splitlines()
     assert rc == 0 and out_lines[-1] == "true"
+
+
+def test_library_resolution(staged, monkeypatch):
+    """Embedded-library resolution chain (reference subcircuit_library.rs)."""
+    _root, lib, _synth, _fx = staged
+    from tokamak_zk_evm_tpu.io.subcircuit_library import resolve_library_path
+
+    assert resolve_library_path(lib) == os.path.realpath(lib)
+    monkeypatch.setenv("TZK_SUBCIRCUIT_LIBRARY", lib)
+    assert resolve_library_path(None) == os.path.realpath(lib)
+    monkeypatch.delenv("TZK_SUBCIRCUIT_LIBRARY")
+    import pytest as _pytest
+    with _pytest.raises(SystemExit):
+        resolve_library_path(None)  # no embedded library in the repo build
+    with _pytest.raises(FileNotFoundError):
+        resolve_library_path("/tmp")
+
+
+def test_sigma_verify_roundtrip(staged, tmp_path):
+    _root, lib, _synth, fx = staged
+    from tokamak_zk_evm_tpu.io import artifacts as art
+    from tokamak_zk_evm_tpu.models.setup import Tau, generate_sigma
+
+    sigma = generate_sigma(fx.params, Tau.fixed(), fx.library, fx.infos)
+    path = str(tmp_path / "sigma_verify.json")
+    art.save_sigma_verify(sigma, path)
+    got = art.load_sigma_verify(path)
+    assert got.G == sigma.G and got.H == sigma.H
+    assert got.lagrange_KL == sigma.lagrange_KL
+    assert got.sigma_1.x == sigma.sigma_1.x and got.sigma_1.y == sigma.sigma_1.y
+    for k in art._S2_FIELDS:
+        assert getattr(got.sigma_2, k) == getattr(sigma.sigma_2, k), k

@@ -1061,6 +1061,26 @@ def _scatter_row_jac(keys, X, Y, Z):
     )
 
 
+def _bucket_row_from_sorted(kl, same, X, Y, Z):
+    """Dense [24, NB+1] bucket rows from a merge-tree level's leftovers,
+    WITHOUT a scatter (XLA scatter with multi-million index vectors is the
+    slowest op on TPU; binary-search + gather is milliseconds).
+
+    kl is the level's sorted left-keys; the flush for bucket b sits at the
+    LAST kl == b position (sortedness makes kl==b contiguous, and only the
+    last such pair can have kr != b), and only flushes if that pair did not
+    merge.  Misses produce Z = 0 = infinity."""
+    bidx = jnp.arange(_NB + 1, dtype=kl.dtype)
+    pos = jnp.searchsorted(kl, bidx, side="right").astype(jnp.int32) - 1
+    pos_c = jnp.clip(pos, 0, kl.shape[0] - 1)
+    hit = (pos >= 0) & (kl[pos_c] == bidx) & (~same[pos_c])
+    zero = jnp.uint32(0)
+    rX = jnp.where(hit[None, :], X[:, pos_c], zero)
+    rY = jnp.where(hit[None, :], Y[:, pos_c], zero)
+    rZ = jnp.where(hit[None, :], Z[:, pos_c], zero)
+    return rX, rY, rZ
+
+
 @functools.lru_cache(maxsize=None)
 def _msm_windows_fn(n):
     """Jitted scan-over-windows MSM core for a padded point count n (pow2).
@@ -1102,15 +1122,14 @@ def _msm_windows_fn(n):
             X = jnp.where(same, mX, right[0])
             Y = jnp.where(same, mY, right[1])
             Z = jnp.where(same, mZ, right[2])
+            row = _bucket_row_from_sorted(kl, same[0], left[0], left[1], left[2])
             key = kr
-            lk = jnp.where(same[0], jnp.uint32(_DUMMY), kl)
-            lZ = jnp.where(same, jnp.zeros_like(left[2]), left[2])
-            row = _scatter_row_jac(lk, left[0], left[1], lZ)
             bX, bY, bZ = g1_add_fused((bX, bY, bZ), row)
             m //= 2
-        # final survivor
-        fk = jnp.where(_is_zero_cols(Z), jnp.uint32(_DUMMY), key)
-        row = _scatter_row_jac(fk, X, Y, Z)
+        # final survivor (width-1 level: never merged)
+        row = _bucket_row_from_sorted(
+            key, jnp.zeros(key.shape, bool), X, Y, Z
+        )
         bX, bY, bZ = g1_add_fused((bX, bY, bZ), row)
         # emit the bucket row (DUMMY bucket sliced off); the weighted bucket
         # sum runs ONCE for all windows after the scan, batched on the

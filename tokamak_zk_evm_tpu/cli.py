@@ -30,6 +30,12 @@ def _log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
+def _resolve_library(args) -> str:
+    from .io.subcircuit_library import resolve_library_path
+
+    return resolve_library_path(args.library)
+
+
 def _load_synthesizer_outputs(d: str):
     from .io import artifacts as art
 
@@ -43,7 +49,7 @@ def cmd_setup(args) -> int:
     from .io import artifacts as art, crs
     from .models.setup import Tau, generate_sigma
 
-    params, infos, library = art.load_library(args.library)
+    params, infos, library = art.load_library(_resolve_library(args))
     if args.fixed_tau:
         tau = Tau.fixed()
     else:
@@ -66,6 +72,8 @@ def cmd_setup(args) -> int:
             sigma, params, os.path.join(args.output, "sigma_preprocess.rkyv")
         )
         _log(f"[setup] rkyv archives: combined={n1}B preprocess={n2}B")
+    os.makedirs(args.output, exist_ok=True)
+    art.save_sigma_verify(sigma, os.path.join(args.output, "sigma_verify.json"))
     _log(f"[setup] CRS written to {args.output}")
     return 0
 
@@ -77,7 +85,8 @@ def cmd_preprocess(args) -> int:
     # only setupParams + instance/permutation are needed here — skip parsing
     # the 14 R1CS files and placementVariables.json (reference preprocess
     # likewise consumes only the slim sigma_preprocess inputs)
-    params = art.load_setup_params(os.path.join(args.library, "setupParams.json"))
+    params = art.load_setup_params(
+        os.path.join(_resolve_library(args), "setupParams.json"))
     sigma = crs.load_sigma_any(args.crs, params)
     instance = art.load_instance(os.path.join(args.synthesizer, "instance.json"))
     permutation = art.load_permutation(os.path.join(args.synthesizer, "permutation.json"))
@@ -97,7 +106,7 @@ def cmd_prove(args) -> int:
     from .models.prover import Prover
     from .utils.rng import secure_rng
 
-    params, infos, library = art.load_library(args.library)
+    params, infos, library = art.load_library(_resolve_library(args))
     sigma = crs.load_sigma_any(args.crs, params)
     placements, instance, permutation = _load_synthesizer_outputs(args.synthesizer)
     mixer = Mixer.zero() if args.deterministic else Mixer.random(secure_rng())
@@ -123,8 +132,13 @@ def cmd_verify(args) -> int:
     from .io import artifacts as art, crs
     from .models.verifier import Verifier
 
-    params = art.load_setup_params(os.path.join(args.library, "setupParams.json"))
-    sigma = crs.load_sigma_any(args.crs, params)
+    params = art.load_setup_params(
+        os.path.join(_resolve_library(args), "setupParams.json"))
+    sv = os.path.join(args.crs, "sigma_verify.json")
+    if os.path.exists(sv):
+        sigma = art.load_sigma_verify(sv)  # slim verifier CRS (reference contract)
+    else:
+        sigma = crs.load_sigma_any(args.crs, params)
     pre = art.load_preprocess_solidity(os.path.join(args.preprocess, "preprocess.json"))
     proof = art.load_proof_solidity(os.path.join(args.proof, "proof.json"))
     instance = art.load_instance(os.path.join(args.synthesizer, "instance.json"))
@@ -156,7 +170,8 @@ def cmd_mpc(args) -> int:
 
     step = args.step
     if step == "phase1-init":
-        params = art.load_setup_params(os.path.join(args.library, "setupParams.json"))
+        params = art.load_setup_params(
+        os.path.join(_resolve_library(args), "setupParams.json"))
         acc = M.Phase1Accumulator.initial(params)
         acc.save(args.output)
         _log(f"[mpc] initial phase-1 accumulator -> {args.output}")
@@ -179,7 +194,7 @@ def cmd_mpc(args) -> int:
         print("true" if ok else "false")
         return 0 if ok else 1
     if step == "phase2-prepare":
-        params, infos, library = art.load_library(args.library)
+        params, infos, library = art.load_library(_resolve_library(args))
         acc = M.Phase1Accumulator.load(args.acc)
         y = int(args.y_hex, 16)
         sigma = M.phase2_prepare(acc, y, params, library, infos)
@@ -226,7 +241,7 @@ def build_parser() -> argparse.ArgumentParser:
     sub = p.add_subparsers(dest="command", required=True)
 
     s = sub.add_parser("setup", help="generate the CRS (trusted setup)")
-    s.add_argument("--library", required=True)
+    s.add_argument("--library", help="subcircuit library dir (optional when embedded or TZK_SUBCIRCUIT_LIBRARY is set)")
     s.add_argument("--output", required=True)
     s.add_argument("--fixed-tau", action="store_true",
                    help="deterministic trapdoor (testing only; matches the reference's --fixed-tau)")
@@ -237,14 +252,14 @@ def build_parser() -> argparse.ArgumentParser:
 
     s = sub.add_parser("preprocess", help="commit permutation polynomials")
     s.add_argument("--crs", required=True)
-    s.add_argument("--library", required=True)
+    s.add_argument("--library", help="subcircuit library dir (optional when embedded or TZK_SUBCIRCUIT_LIBRARY is set)")
     s.add_argument("--synthesizer", required=True)
     s.add_argument("--output", required=True)
     s.set_defaults(fn=cmd_preprocess)
 
     s = sub.add_parser("prove", help="generate a proof")
     s.add_argument("--crs", required=True)
-    s.add_argument("--library", required=True)
+    s.add_argument("--library", help="subcircuit library dir (optional when embedded or TZK_SUBCIRCUIT_LIBRARY is set)")
     s.add_argument("--synthesizer", required=True)
     s.add_argument("--output", required=True)
     s.add_argument("--deterministic", action="store_true",
@@ -256,7 +271,7 @@ def build_parser() -> argparse.ArgumentParser:
 
     s = sub.add_parser("verify", help="verify a proof")
     s.add_argument("--crs", required=True)
-    s.add_argument("--library", required=True)
+    s.add_argument("--library", help="subcircuit library dir (optional when embedded or TZK_SUBCIRCUIT_LIBRARY is set)")
     s.add_argument("--preprocess", required=True)
     s.add_argument("--proof", required=True)
     s.add_argument("--synthesizer", required=True)

@@ -514,3 +514,81 @@ def load_proof4test(path: str):
     if missing:
         raise ValueError(f"proof4_test.json missing fields: {missing}")
     return Proof4Test(**{n: _g1_coords_from_json(d[n]) for n in _P4T_FIELDS})
+
+
+# ---------------------------------------------------------------------------
+# sigma_verify.json — the verifier's slim CRS view
+# (`group_structures/mod.rs:854-860` SigmaVerify {G, H, sigma_1{x,y},
+# sigma_2, lagrange_KL}; written by `iotools/mod.rs:295-297`)
+# ---------------------------------------------------------------------------
+
+
+def _fq_hex(x: int) -> str:
+    return f"0x{x:096x}"
+
+
+def _g1_xy(p) -> dict:
+    x, y = (0, 0) if p is None else p
+    return {"x": _fq_hex(x), "y": _fq_hex(y)}
+
+
+def _g1_from_xy(d):
+    x, y = parse_hex(d["x"]), parse_hex(d["y"])
+    return None if (x == 0 and y == 0) else (x, y)
+
+
+def _g2_xy(p) -> dict:
+    """Fq2 coordinate encoded as 0x || c1 || c0 (96 bytes big-endian)."""
+    if p is None:
+        return {"x": "0x" + "0" * 192, "y": "0x" + "0" * 192}
+    (x0, x1), (y0, y1) = p
+    return {
+        "x": f"0x{x1:096x}{x0:096x}",
+        "y": f"0x{y1:096x}{y0:096x}",
+    }
+
+
+def _g2_from_xy(d):
+    xs, ys = d["x"][2:].rjust(192, "0"), d["y"][2:].rjust(192, "0")
+    x1, x0 = int(xs[:96], 16), int(xs[96:], 16)
+    y1, y0 = int(ys[:96], 16), int(ys[96:], 16)
+    if x0 == x1 == y0 == y1 == 0:
+        return None
+    return ((x0, x1), (y0, y1))
+
+
+_S2_FIELDS = ("alpha", "alpha2", "alpha3", "alpha4", "gamma", "delta", "eta",
+              "x", "y")
+
+
+def save_sigma_verify(sigma, path: str):
+    d = {
+        "G": _g1_xy(sigma.G),
+        "H": _g2_xy(sigma.H),
+        "sigma_1": {"x": _g1_xy(sigma.sigma_1.x), "y": _g1_xy(sigma.sigma_1.y)},
+        "sigma_2": {k: _g2_xy(getattr(sigma.sigma_2, k)) for k in _S2_FIELDS},
+        "lagrange_KL": _g1_xy(sigma.lagrange_KL),
+    }
+    with open(path, "w") as f:
+        json.dump(d, f, indent=1)
+
+
+def load_sigma_verify(path: str):
+    """sigma_verify.json -> a Sigma carrying only the verifier's fields
+    (sigma_1 families are None — enough for Verifier.verify_snark)."""
+    from ..models.setup import Sigma, Sigma1, Sigma2
+
+    with open(path) as f:
+        d = json.load(f)
+    s1 = Sigma1(
+        xy_powers=None, h_max=0, rs_y=0, gamma_inv_o_inst=None,
+        eta_inv_li_o_inter_alpha4_kj=None, delta_inv_li_o_prv=None,
+        x=_g1_from_xy(d["sigma_1"]["x"]), y=_g1_from_xy(d["sigma_1"]["y"]),
+        delta=None, eta=None, delta_inv_alphak_xh_tx=None,
+        delta_inv_alpha4_xj_tx=None, delta_inv_alphak_yi_ty=None,
+    )
+    s2 = Sigma2(**{k: _g2_from_xy(d["sigma_2"][k]) for k in _S2_FIELDS})
+    return Sigma(
+        G=_g1_from_xy(d["G"]), H=_g2_from_xy(d["H"]), sigma_1=s1,
+        sigma_2=s2, lagrange_KL=_g1_from_xy(d["lagrange_KL"]),
+    )
