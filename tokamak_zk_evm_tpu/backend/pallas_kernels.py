@@ -1081,71 +1081,110 @@ def _bucket_row_from_sorted(kl, same, X, Y, Z):
     return rX, rY, rZ
 
 
+def _msm_window_batch(n: int) -> int:
+    """Windows processed per scan step: bounded by the ~2 x [48, wb*n] u32
+    working set the gathered/sorted copies occupy in HBM."""
+    if n <= (1 << 19):
+        return 16
+    if n <= (1 << 20):
+        return 8
+    if n <= (1 << 21):
+        return 4
+    return 2
+
+
 @functools.lru_cache(maxsize=None)
-def _msm_windows_fn(n):
-    """Jitted scan-over-windows MSM core for a padded point count n (pow2).
+def _msm_windows_fn(n, wb):
+    """Jitted MSM core for a padded point count n (pow2), wb windows per
+    lax.scan step (window = one 16-bit scalar limb; 16 windows total).
 
-    One Pippenger window per scan step (window = one 16-bit scalar limb).
-    Bucket accumulation = sorted merge tree: each level pairs adjacent
-    entries; same-key pairs merge with one batched affine add, boundary pairs
-    flush the left partial into that level's bucket row (sortedness
-    guarantees at most one flush per bucket per level, so scatter-set is
-    conflict-free).  Point work: exactly n-1 adds per window — the minimum.
-    The weighted bucket sum T = sum_b b * B_b is pair-halving
-    (T(B) = 2*T(B_even + B_odd) + sum(B_odd)), emitting one "single" point
-    per halving level; the 2^level weighting is deferred to the host combine.
+    Bucket accumulation = sorted merge tree in BIT-REVERSED order: after the
+    per-window sort, elements are laid out bit-reversed so every level pairs
+    the two CONTIGUOUS halves (i, i + m/2) — the natural-order adjacent
+    pairing `[0::2]/[1::2]` costs ~0.7 s per level at 2^22 in lane-misaligned
+    strided-slice relayouts, contiguous halves ~12 ms.  Same-key pairs merge
+    with one fused jacobian add; boundary pairs flush the left partial into
+    per-window bucket rows with ONE batched scatter per level (at most one
+    real writer per bucket; dead lanes target the sliced-off DUMMY column).
+    Point work: exactly n-1 adds per window — the minimum.  The weighted
+    bucket sum T = sum_b b * B_b runs once for all 16 windows after the scan
+    (window-batched pair halving), with the 2^level weighting deferred to
+    the host combine.
 
-    The 16 windows run under lax.scan so the window body is traced and
-    compiled ONCE (an unrolled 16x body takes ~7 minutes of XLA compile).
-    Returns (sx [16, NLEV, 24], sy [16, NLEV, 24], sinf [16, NLEV]):
+    Returns (sX, sY, sZ) each [16, NLEV, 24]:
     window value = sum_level 2^level * single[window, level].
     """
+    br = jnp.asarray(_bitrev_idx(n))
 
-    def window_body(carry, digits):
-        xp, yp, zp, infp = carry
-        key = jnp.where(infp.astype(bool), jnp.uint32(_DUMMY), digits)
-        order = jnp.argsort(key)
-        key = key[order]
-        X = xp[:, order]
-        Y = yp[:, order]
-        Z = zp[:, order]
+    def step_body(carry, digits):
+        xp, yp = carry  # [24, n] shared source points
+        order = jnp.argsort(digits, axis=1)        # [wb, n]
+        order = jnp.take(order, br, axis=1)        # sorted, bit-reversed
+        key = jnp.take_along_axis(digits, order, axis=1)
+        src = jnp.concatenate([xp, yp], axis=0)    # [48, n]
+        g = jnp.take(src, order.reshape(-1), axis=1).reshape(48, wb, n)
+        X, Y = g[:24], g[24:]
+        one = jnp.asarray(_one_col_np("fq")).reshape(FQ_L, 1, 1)
+        Z = jnp.where(
+            (key == jnp.uint32(_DUMMY))[None],
+            jnp.zeros((FQ_L, wb, n), jnp.uint32),
+            jnp.broadcast_to(one, (FQ_L, wb, n)),
+        )
 
-        zero24 = jnp.zeros((FQ_L, _NB + 1), jnp.uint32)
-        bX, bY, bZ = zero24, zero24, zero24  # Z=0 everywhere = all-infinity
+        woff = (jnp.arange(wb, dtype=jnp.uint32) * jnp.uint32(_NB + 1))[:, None]
+        zeroNB = jnp.zeros((FQ_L, wb, _NB + 1), jnp.uint32)
+        bX, bY, bZ = zeroNB, zeroNB, zeroNB  # Z=0 everywhere = all-infinity
+
+        def flush_and_add(acc, lk, pX, pY, pZ):
+            flatk = (lk + woff).reshape(-1)
+            w = lk.shape[1]
+            row = tuple(
+                jnp.zeros((FQ_L, wb * (_NB + 1)), jnp.uint32)
+                .at[:, flatk].set(c.reshape(FQ_L, wb * w))
+                for c in (pX, pY, pZ)
+            )
+            out = g1_add_fused(
+                tuple(c.reshape(FQ_L, wb * (_NB + 1)) for c in acc), row
+            )
+            return tuple(c.reshape(FQ_L, wb, _NB + 1) for c in out)
+
         m = n
         while m > 1:
-            kl, kr = key[0::2], key[1::2]
-            left = (X[:, 0::2], Y[:, 0::2], Z[:, 0::2])
-            right = (X[:, 1::2], Y[:, 1::2], Z[:, 1::2])
-            same = (kl == kr)[None, :]
-            mX, mY, mZ = g1_add_fused(left, right)
-            X = jnp.where(same, mX, right[0])
-            Y = jnp.where(same, mY, right[1])
-            Z = jnp.where(same, mZ, right[2])
-            row = _bucket_row_from_sorted(kl, same[0], left[0], left[1], left[2])
+            h = m // 2
+            kl, kr = key[:, :h], key[:, h:]
+            lX, lY, lZ = X[:, :, :h], Y[:, :, :h], Z[:, :, :h]
+            rX, rY, rZ = X[:, :, h:], Y[:, :, h:], Z[:, :, h:]
+            same2 = kl == kr
+            same = same2[None]
+            mX, mY, mZ = (
+                c.reshape(FQ_L, wb, h)
+                for c in g1_add_fused(
+                    tuple(c.reshape(FQ_L, wb * h) for c in (lX, lY, lZ)),
+                    tuple(c.reshape(FQ_L, wb * h) for c in (rX, rY, rZ)),
+                )
+            )
+            X = jnp.where(same, mX, rX)
+            Y = jnp.where(same, mY, rY)
+            Z = jnp.where(same, mZ, rZ)
+            lk = jnp.where(same2, jnp.uint32(_DUMMY), kl)
+            (bX, bY, bZ) = flush_and_add((bX, bY, bZ), lk, lX, lY, lZ)
             key = kr
-            bX, bY, bZ = g1_add_fused((bX, bY, bZ), row)
-            m //= 2
-        # final survivor (width-1 level: never merged)
-        row = _bucket_row_from_sorted(
-            key, jnp.zeros(key.shape, bool), X, Y, Z
-        )
-        bX, bY, bZ = g1_add_fused((bX, bY, bZ), row)
-        # emit the bucket row (DUMMY bucket sliced off); the weighted bucket
-        # sum runs ONCE for all windows after the scan, batched on the
-        # window axis — inside the scan it costs 16x the kernel launches
-        return carry, (bX[:, :_NB], bY[:, :_NB], bZ[:, :_NB])
+            m = h
+        # final survivor (never merged; Z=0 already encodes infinity)
+        (bX, bY, bZ) = flush_and_add((bX, bY, bZ), key, X, Y, Z)
+        return carry, (bX[:, :, :_NB], bY[:, :, :_NB], bZ[:, :, :_NB])
 
     def run(scalars, xp, yp, infp):
-        one = jnp.broadcast_to(jnp.asarray(_one_col_np("fq")), xp.shape)
-        zp = jnp.where(infp[None, :].astype(bool), jnp.zeros_like(one), one)
-        _, (bXs, bYs, bZs) = jax.lax.scan(
-            window_body, (xp, yp, zp, infp), scalars
-        )
-        # [W, 24, NB] -> [24, W, NB]
-        bX = jnp.moveaxis(bXs, 0, 1)
-        bY = jnp.moveaxis(bYs, 0, 1)
-        bZ = jnp.moveaxis(bZs, 0, 1)
+        key_all = jnp.where(
+            infp[None, :].astype(bool), jnp.uint32(_DUMMY), scalars
+        )  # [16, n]
+        steps = FR_L // wb
+        ks = key_all.reshape(steps, wb, n)
+        _, (bXs, bYs, bZs) = jax.lax.scan(step_body, (xp, yp), ks)
+        # [S, 24, wb, NB] -> [24, 16, NB]
+        bX = jnp.moveaxis(bXs, 1, 0).reshape(FQ_L, FR_L, _NB)
+        bY = jnp.moveaxis(bYs, 1, 0).reshape(FQ_L, FR_L, _NB)
+        bZ = jnp.moveaxis(bZs, 1, 0).reshape(FQ_L, FR_L, _NB)
         return _weighted_bucket_tail(bX, bY, bZ)
 
     return jax.jit(run)
@@ -1212,7 +1251,7 @@ def g1_msm(scalars, px, py, pinf):
     yp = jnp.pad(py, ((0, 0), (0, n - N)))
     infp = jnp.pad(pinf, (0, n - N), constant_values=1)
     sc = jnp.pad(scalars.astype(jnp.uint32), ((0, 0), (0, n - N)))
-    sX, sY, sZ = _msm_windows_fn(n)(sc, xp, yp, infp)
+    sX, sY, sZ = _msm_windows_fn(n, _msm_window_batch(n))(sc, xp, yp, infp)
     sXh, sYh, sZh = np.asarray(sX), np.asarray(sY), np.asarray(sZ)
     exps, pts = [], []
     for wi in range(FR_L):
