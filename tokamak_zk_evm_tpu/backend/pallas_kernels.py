@@ -1116,72 +1116,85 @@ def _msm_windows_fn(n, wb):
     """
     br = jnp.asarray(_bitrev_idx(n))
 
+    # All point arrays stay FLAT [24, wb*width] (window-major): 3-D shapes
+    # with a small middle dim pad the sublane axis 4-8x in HBM (a 2^22 run
+    # OOM'd at 21.4 GB of 15.75 GB purely from tile padding).  Dead lanes
+    # (padding, infinities, merged pairs, digit-0 points) all map to bucket
+    # 0, whose weight in the bucket sum is zero — so there is no DUMMY
+    # column and no slicing.
+
+    def _halves(a, wb, m):
+        """Flat [24, wb*m] -> contiguous per-window halves [24, wb*(m//2)]."""
+        h = m // 2
+        if wb == 1:
+            return a[:, :h], a[:, h:]
+        lefts = jnp.concatenate(
+            [a[:, w * m : w * m + h] for w in range(wb)], axis=1
+        )
+        rights = jnp.concatenate(
+            [a[:, w * m + h : (w + 1) * m] for w in range(wb)], axis=1
+        )
+        return lefts, rights
+
     def step_body(carry, digits):
         xp, yp = carry  # [24, n] shared source points
         order = jnp.argsort(digits, axis=1)        # [wb, n]
         order = jnp.take(order, br, axis=1)        # sorted, bit-reversed
-        key = jnp.take_along_axis(digits, order, axis=1)
+        key = jnp.take_along_axis(digits, order, axis=1)  # [wb, n]
         src = jnp.concatenate([xp, yp], axis=0)    # [48, n]
-        g = jnp.take(src, order.reshape(-1), axis=1).reshape(48, wb, n)
-        X, Y = g[:24], g[24:]
-        one = jnp.asarray(_one_col_np("fq")).reshape(FQ_L, 1, 1)
+        g = jnp.take(src, order.reshape(-1), axis=1)  # [48, wb*n]
+        X, Y = g[:FQ_L], g[FQ_L:]
+        one = jnp.asarray(_one_col_np("fq"))
         Z = jnp.where(
-            (key == jnp.uint32(_DUMMY))[None],
-            jnp.zeros((FQ_L, wb, n), jnp.uint32),
-            jnp.broadcast_to(one, (FQ_L, wb, n)),
+            (key == jnp.uint32(0)).reshape(1, wb * n),
+            jnp.uint32(0),
+            jnp.broadcast_to(one, (FQ_L, wb * n)),
         )
 
-        woff = (jnp.arange(wb, dtype=jnp.uint32) * jnp.uint32(_NB + 1))[:, None]
-        zeroNB = jnp.zeros((FQ_L, wb, _NB + 1), jnp.uint32)
+        woff = (jnp.arange(wb, dtype=jnp.uint32) * jnp.uint32(_NB))[:, None]
+        zeroNB = jnp.zeros((FQ_L, wb * _NB), jnp.uint32)
         bX, bY, bZ = zeroNB, zeroNB, zeroNB  # Z=0 everywhere = all-infinity
 
         def flush_and_add(acc, lk, pX, pY, pZ):
             flatk = (lk + woff).reshape(-1)
-            w = lk.shape[1]
             row = tuple(
-                jnp.zeros((FQ_L, wb * (_NB + 1)), jnp.uint32)
-                .at[:, flatk].set(c.reshape(FQ_L, wb * w))
+                jnp.zeros((FQ_L, wb * _NB), jnp.uint32)
+                .at[:, flatk].set(c)
                 for c in (pX, pY, pZ)
             )
-            out = g1_add_fused(
-                tuple(c.reshape(FQ_L, wb * (_NB + 1)) for c in acc), row
-            )
-            return tuple(c.reshape(FQ_L, wb, _NB + 1) for c in out)
+            return g1_add_fused(acc, row)
 
         m = n
         while m > 1:
             h = m // 2
             kl, kr = key[:, :h], key[:, h:]
-            lX, lY, lZ = X[:, :, :h], Y[:, :, :h], Z[:, :, :h]
-            rX, rY, rZ = X[:, :, h:], Y[:, :, h:], Z[:, :, h:]
-            same2 = kl == kr
-            same = same2[None]
-            mX, mY, mZ = (
-                c.reshape(FQ_L, wb, h)
-                for c in g1_add_fused(
-                    tuple(c.reshape(FQ_L, wb * h) for c in (lX, lY, lZ)),
-                    tuple(c.reshape(FQ_L, wb * h) for c in (rX, rY, rZ)),
-                )
-            )
+            lX, rX = _halves(X, wb, m)
+            lY, rY = _halves(Y, wb, m)
+            lZ, rZ = _halves(Z, wb, m)
+            same2 = kl == kr  # [wb, h]
+            same = same2.reshape(1, wb * h)
+            mX, mY, mZ = g1_add_fused((lX, lY, lZ), (rX, rY, rZ))
             X = jnp.where(same, mX, rX)
             Y = jnp.where(same, mY, rY)
             Z = jnp.where(same, mZ, rZ)
-            lk = jnp.where(same2, jnp.uint32(_DUMMY), kl)
-            (bX, bY, bZ) = flush_and_add((bX, bY, bZ), lk, lX, lY, lZ)
+            lk = jnp.where(same2, jnp.uint32(0), kl)  # merged -> bucket 0
+            bX, bY, bZ = flush_and_add((bX, bY, bZ), lk, lX, lY, lZ)
             key = kr
             m = h
         # final survivor (never merged; Z=0 already encodes infinity)
-        (bX, bY, bZ) = flush_and_add((bX, bY, bZ), key, X, Y, Z)
-        return carry, (bX[:, :, :_NB], bY[:, :, :_NB], bZ[:, :, :_NB])
+        bX, bY, bZ = flush_and_add((bX, bY, bZ), key, X, Y, Z)
+        return carry, (bX, bY, bZ)
 
     def run(scalars, xp, yp, infp):
+        # dead inputs -> bucket 0 (weight zero)
         key_all = jnp.where(
-            infp[None, :].astype(bool), jnp.uint32(_DUMMY), scalars
+            infp[None, :].astype(bool), jnp.uint32(0), scalars
         )  # [16, n]
         steps = FR_L // wb
         ks = key_all.reshape(steps, wb, n)
         _, (bXs, bYs, bZs) = jax.lax.scan(step_body, (xp, yp), ks)
-        # [S, 24, wb, NB] -> [24, 16, NB]
+        # [S, 24, wb*NB] -> [24, 16, NB] (step-major window order == window
+        # order, since ks was reshaped window-major)
         bX = jnp.moveaxis(bXs, 1, 0).reshape(FQ_L, FR_L, _NB)
         bY = jnp.moveaxis(bYs, 1, 0).reshape(FQ_L, FR_L, _NB)
         bZ = jnp.moveaxis(bZs, 1, 0).reshape(FQ_L, FR_L, _NB)
