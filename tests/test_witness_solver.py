@@ -1,0 +1,164 @@
+"""Generic R1CS witness solver tests against the shipped real library.
+
+The reference generates witnesses with circom WASM calculators
+(`frontend/synthesizer/core/src/circuitGenerator/handlers/
+variableGenerator.ts:33,88,356`); `models/witness_solver.py` re-derives
+them from the binary R1CS directly.  These tests exercise the solver on
+the real 14-subcircuit library artifacts and check outputs against
+independently computed EVM semantics.
+
+Known-limited (documented in witness_solver.py): ALU1 cases where both
+operands have dense high limbs interlock the Mul256 carry-split chains
+and may fail to propagate; those raise UnsolvableR1CS (never a silent
+wrong witness).
+"""
+
+import numpy as np
+import pytest
+
+from tokamak_zk_evm_tpu.io.artifacts import load_library
+from tokamak_zk_evm_tpu.models.witness_solver import (
+    UnsolvableR1CS,
+    solve_r1cs_witness,
+)
+from tokamak_zk_evm_tpu.testing.real_fixture import (
+    REFERENCE_LIBRARY,
+    check_r1cs_satisfaction,
+)
+
+M256 = 1 << 256
+L128 = (1 << 128) - 1
+
+
+@pytest.fixture(scope="module")
+def lib():
+    params, infos, library = load_library(REFERENCE_LIBRARY)
+    return params, {i.name: i for i in infos}, library
+
+
+def _solve(info, r1cs, known):
+    w = solve_r1cs_witness(r1cs, info.Nwires, known)
+    assert check_r1cs_satisfaction(r1cs, w)
+    return w
+
+
+def _alu1_known(info, sel_bit, a, b, want):
+    i0 = info.In_idx[0]
+    o0 = info.Out_idx[0]
+    return {
+        0: 1,
+        i0: 1 << sel_bit,
+        i0 + 1: a & L128,
+        i0 + 2: a >> 128,
+        i0 + 3: b & L128,
+        i0 + 4: b >> 128,
+        # the synthesizer knows the EVM result; passing it pins the
+        # underconstrained isNeg hint branches to the semantic witness
+        o0: want & L128,
+        o0 + 1: want >> 128,
+    }
+
+
+def _sgn(x):
+    return x - M256 if x >> 255 else x
+
+
+ALU1_OPS = [
+    (1, "ADD", lambda a, b: (a + b) % M256),
+    (2, "MUL", lambda a, b: (a * b) % M256),
+    (3, "SUB", lambda a, b: (a - b) % M256),
+    (16, "LT", lambda a, b: int(a < b)),
+    (17, "GT", lambda a, b: int(a > b)),
+    (18, "SLT", lambda a, b: int(_sgn(a) < _sgn(b))),
+    (19, "SGT", lambda a, b: int(_sgn(a) > _sgn(b))),
+    (20, "EQ", lambda a, b: int(a == b)),
+    (21, "ISZERO", lambda a, b: int(a == 0)),
+    (22, "AND", lambda a, b: a & b),
+    (23, "OR", lambda a, b: a | b),
+    (24, "XOR", lambda a, b: a ^ b),
+    (25, "NOT", lambda a, b: (~a) % M256),
+]
+
+
+@pytest.mark.parametrize("sel_bit,name,fn", ALU1_OPS,
+                         ids=[o[1] for o in ALU1_OPS])
+def test_alu1_ops(lib, sel_bit, name, fn):
+    _, by_name, library = lib
+    info = by_name["ALU1"]
+    r1cs = library[info.id]
+    o0 = info.Out_idx[0]
+    for a, b in (((1 << 200) + 987654321, M256 - 98765), (5, 3),
+                 (M256 - 5, 3), (0, 0)):
+        want = fn(a, b)
+        w = _solve(info, r1cs, _alu1_known(info, sel_bit, a, b, want))
+        got = w[o0] | (w[o0 + 1] << 128)
+        assert got == want, f"{name}({hex(a)}, {hex(b)})"
+
+
+def test_alu1_unsolvable_raises_not_silent(lib):
+    """The solver must fail loudly (never emit a bad witness) on the
+    known-hard interlocked case."""
+    _, by_name, library = lib
+    info = by_name["ALU1"]
+    r1cs = library[info.id]
+    a, b = M256 - 5, 3
+    want = (a + b) % M256
+    known = _alu1_known(info, 1, a, b, want)
+    try:
+        w = solve_r1cs_witness(r1cs, info.Nwires, known)
+    except UnsolvableR1CS:
+        return  # acceptable: loud failure
+    assert check_r1cs_satisfaction(r1cs, w)
+
+
+def test_dectobit(lib):
+    _, by_name, library = lib
+    info = by_name["DecToBit"]
+    r1cs = library[info.id]
+    i0, ic = info.In_idx
+    rng = np.random.default_rng(3)
+    known = {0: 1}
+    vals = []
+    for k in range(ic):
+        v = int.from_bytes(rng.bytes(16), "little")
+        vals.append(v)
+        known[i0 + k] = v
+    w = _solve(info, r1cs, known)
+    # outputs are the bit decompositions of the inputs
+    o0, oc = info.Out_idx
+    bits = w[o0:o0 + oc]
+    assert all(bit in (0, 1) for bit in bits)
+
+
+def test_buffers_and_accumulator(lib):
+    _, by_name, library = lib
+    rng = np.random.default_rng(5)
+    for name in ("bufferPubOut", "bufferPubIn", "bufferBlockIn",
+                 "bufferEVMIn", "bufferPrvIn", "Accumulator"):
+        info = by_name[name]
+        r1cs = library[info.id]
+        i0, ic = info.In_idx
+        known = {0: 1}
+        for k in range(ic):
+            known[i0 + k] = int.from_bytes(rng.bytes(8), "little")
+        _solve(info, r1cs, known)
+
+
+def test_accumulator_sums(lib):
+    """Accumulator = chained Add256 over N pairs; check the 256-bit sum."""
+    _, by_name, library = lib
+    info = by_name["Accumulator"]
+    r1cs = library[info.id]
+    i0, ic = info.In_idx
+    rng = np.random.default_rng(7)
+    known = {0: 1}
+    total = 0
+    for k in range(0, ic, 2):
+        v = int.from_bytes(rng.bytes(24), "little")
+        total = (total + v) % M256
+        known[i0 + k] = v & L128
+        known[i0 + k + 1] = v >> 128
+    w = _solve(info, r1cs, known)
+    o0 = info.Out_idx[0]
+    got = w[o0] | (w[o0 + 1] << 128)
+    assert got == total
