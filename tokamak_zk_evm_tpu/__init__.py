@@ -19,3 +19,10 @@ Subpackages:
 """
 
 __version__ = "0.1.0"
+
+# Persistent compile cache: force-enabled (the axon TPU plugin's platform name
+# fails JAX's allowlist check even though serialization works — see
+# utils/compile_cache.py).  Must run before the first jit compile.
+from .utils import compile_cache as _compile_cache
+
+_compile_cache.enable()
