@@ -80,15 +80,45 @@ ALU1_OPS = [
 ]
 
 
+@pytest.fixture(scope="module")
+def wgen(lib):
+    from tokamak_zk_evm_tpu.frontend.witness_gen import WitnessGenerator
+
+    params, by_name, library = lib
+    return WitnessGenerator(REFERENCE_LIBRARY, list(by_name.values()), library)
+
+
 @pytest.mark.parametrize("sel_bit,name,fn", ALU1_OPS,
                          ids=[o[1] for o in ALU1_OPS])
-def test_alu1_ops(lib, sel_bit, name, fn):
+def test_alu1_ops(lib, wgen, sel_bit, name, fn):
+    """All 13 ALU1 ops, including the dense-operand and wrap-around pairs,
+    through the unified generator (exact WASM engine, solver fallback)."""
+    _, by_name, library = lib
+    info = by_name["ALU1"]
+    o0 = info.Out_idx[0]
+    for a, b in (((1 << 200) + 987654321, M256 - 98765), (5, 3),
+                 (M256 - 5, 3), (0, 0)):
+        want = fn(a, b)
+        ins = [1 << sel_bit, a & L128, a >> 128, b & L128, b >> 128]
+        w = wgen.witness(info.id, ins, out_values=[want & L128, want >> 128])
+        got = w[o0] | (w[o0 + 1] << 128)
+        assert got == want, f"{name}({hex(a)}, {hex(b)})"
+
+
+@pytest.mark.parametrize("sel_bit,name,fn",
+                         [o for o in ALU1_OPS if o[1] in
+                          ("ADD", "ISZERO", "AND", "EQ", "NOT")],
+                         ids=[o[1] for o in ALU1_OPS if o[1] in
+                              ("ADD", "ISZERO", "AND", "EQ", "NOT")])
+def test_alu1_ops_solver(lib, sel_bit, name, fn):
+    """The pure-R1CS solver path on the pairs it can propagate (the
+    wrap-around carry interlock is the exact engine's job — see
+    test_alu1_unsolvable_raises_not_silent)."""
     _, by_name, library = lib
     info = by_name["ALU1"]
     r1cs = library[info.id]
     o0 = info.Out_idx[0]
-    for a, b in (((1 << 200) + 987654321, M256 - 98765), (5, 3),
-                 (M256 - 5, 3), (0, 0)):
+    for a, b in (((1 << 200) + 987654321, M256 - 98765), (5, 3), (0, 0)):
         want = fn(a, b)
         w = _solve(info, r1cs, _alu1_known(info, sel_bit, a, b, want))
         got = w[o0] | (w[o0 + 1] << 128)

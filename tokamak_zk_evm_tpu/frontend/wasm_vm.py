@@ -278,9 +278,17 @@ def _translate_func(mod: Module, fidx: int) -> str:
     args = ", ".join(f"l{i}" for i in range(n_params))
     out.write(f"def f{fidx}({args}):\n")
     ind = 1
+    last = [1, False]  # (indent, opened-a-suite) of the previous line
 
     def w(line):
+        # Python requires non-empty suites: if the previous line opened a
+        # suite and we are dedenting (or writing a sibling opener at the
+        # same level), pad the empty suite with `pass`.
+        if last[1] and ind <= last[0]:
+            out.write("    " * (last[0] + 1) + "pass\n")
         out.write("    " * ind + line + "\n")
+        last[0] = ind
+        last[1] = line.endswith(":")
 
     if n_locals > n_params:
         zero = " = ".join(f"l{i}" for i in range(n_params, n_locals))
@@ -362,15 +370,20 @@ def _translate_func(mod: Module, fidx: int) -> str:
                         push(f"s{len(stack)}")
                     if fr.kind == "func":
                         break
-                    ind -= 1  # out of body
+                    # mirror the live `end` emission exactly (the dead arm
+                    # emitted nothing, but the suite/wrapper nesting is the
+                    # same): close the if/else suite, break the while
                     if fr.kind == "if":
-                        ind -= 1  # out of if/else
+                        ind -= 1
                     w("break")
-                    ind -= 1  # out of while
+                    ind -= 1
                     if fr.escapes:
+                        # unwinding checkpoint: when _br hits 0 HERE the
+                        # target is the ENCLOSING structure (frames[-1]) —
+                        # restart it if it is a loop, exit it otherwise
                         w("if _br:")
                         w("    _br -= 1")
-                        if fr.kind == "loop":
+                        if frames[-1].kind == "loop":
                             w("    if _br == 0: continue")
                         w("    break")
             elif op in (0x0C, 0x0D, 0x10):
@@ -442,9 +455,10 @@ def _translate_func(mod: Module, fidx: int) -> str:
             w("break")
             ind -= 1
             if fr.escapes:
+                # see the dead-path twin: _br == 0 here targets frames[-1]
                 w("if _br:")
                 w("    _br -= 1")
-                if fr.kind == "loop":
+                if frames[-1].kind == "loop":
                     w("    if _br == 0: continue")
                 w("    break")
         elif op == 0x0C:  # br
