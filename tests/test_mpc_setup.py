@@ -128,3 +128,64 @@ def test_ceremony_equals_trusted_setup(fx):
         got_pts = cv.unpack_affine(getattr(sigma.sigma_1, f))
         want_pts = cv.unpack_affine(getattr(want.sigma_1, f))
         assert got_pts == want_pts, f
+
+
+@pytest.mark.slow
+def test_phase2_verify_rejects_tampering(fx):
+    """Every phase-2 field class is guarded: immutable swaps, scaled-point
+    substitutions, and single-point corruption in the big families must all
+    fail verification (advisor finding: prior spot checks missed these)."""
+    import dataclasses
+
+    rng = np.random.default_rng(3)
+    acc = M.Phase1Accumulator.initial(fx.params)
+    acc, _ = acc.compute(rng)
+    sigma = M.phase2_prepare(acc, 0xBEEF, fx.params, fx.library, fx.infos)
+    cur, proof = M.phase2_contribute(sigma, rng)
+    assert M.phase2_verify(sigma, cur, proof)
+
+    # corrupt one point inside a big packed family
+    from tokamak_zk_evm_tpu.ops import curve as cv
+    pts = cv.unpack_affine(cur.sigma_1.delta_inv_li_o_prv)
+    k = next(i for i, p in enumerate(pts) if p is not None)
+    pts[k] = M.G1.gen  # valid curve point, wrong value
+    bad_s1 = dataclasses.replace(
+        cur.sigma_1, delta_inv_li_o_prv=cv.pack_affine(pts))
+    bad = dataclasses.replace(cur, sigma_1=bad_s1)
+    assert not M.phase2_verify(sigma, bad, proof)
+
+    # tamper an "immutable" field (xy_powers row swap)
+    xp = cv.unpack_affine(cur.sigma_1.xy_powers)
+    xp[0], xp[1] = xp[1], xp[0]
+    bad_s1 = dataclasses.replace(cur.sigma_1, xy_powers=cv.pack_affine(xp))
+    bad = dataclasses.replace(cur, sigma_1=bad_s1)
+    assert not M.phase2_verify(sigma, bad, proof)
+
+    # tamper a small delta-inverse list family
+    rows = [list(r) for r in cur.sigma_1.delta_inv_alphak_yi_ty]
+    rows[0][0] = M.G1.gen
+    bad_s1 = dataclasses.replace(cur.sigma_1, delta_inv_alphak_yi_ty=rows)
+    bad = dataclasses.replace(cur, sigma_1=bad_s1)
+    assert not M.phase2_verify(sigma, bad, proof)
+
+    # tamper sigma_1.delta without touching the G2 side
+    bad_s1 = dataclasses.replace(cur.sigma_1, delta=M.G1.gen)
+    bad = dataclasses.replace(cur, sigma_1=bad_s1)
+    assert not M.phase2_verify(sigma, bad, proof)
+
+
+def test_checked_deserialization_rejects_bad_points():
+    """Ceremony files are adversarial: off-curve and small-order points must
+    be rejected at load time (arkworks CanonicalDeserialize parity)."""
+    good = M._ser_g1(M.G1.gen)
+    assert M._de_g1_checked(good) == M.G1.gen
+    gx, gy = M.G1.gen
+    off = M._ser_g1((gx, (gy + 1) % M.C.Q_MOD))
+    with pytest.raises(M.CeremonyFormatError):
+        M._de_g1_checked(off)
+    good2 = M._ser_g2(M.G2.gen)
+    assert M._de_g2_checked(good2) == M.G2.gen
+    ((xa, xb), (ya, yb)) = M.G2.gen
+    off2 = M._ser_g2(((xa, xb), ((ya + 1) % M.C.Q_MOD, yb)))
+    with pytest.raises(M.CeremonyFormatError):
+        M._de_g2_checked(off2)

@@ -68,6 +68,38 @@ def _de_g2(s):
     return ((int(a, 16), int(b, 16)), (int(c, 16), int(d, 16)))
 
 
+class CeremonyFormatError(ValueError):
+    pass
+
+
+def _de_g1_checked(s):
+    """Deserialize + validate: on-curve and in the r-order subgroup.
+
+    Ceremony files are adversarial inputs — a contributor could plant
+    small-subgroup or off-curve points that pass the batched pairing
+    checks (`accumulator.rs` deserializes through arkworks' checked
+    CanonicalDeserialize; this is our equivalent)."""
+    p = _de_g1(s)
+    if p is None:
+        return None
+    if not G1.is_on_curve_affine(p):
+        raise CeremonyFormatError(f"G1 point off-curve: {s[:32]}...")
+    if C.g1_scalar_mul_affine(p, R_MOD) is not None:
+        raise CeremonyFormatError(f"G1 point outside r-subgroup: {s[:32]}...")
+    return p
+
+
+def _de_g2_checked(s):
+    p = _de_g2(s)
+    if p is None:
+        return None
+    if not G2.is_on_curve_affine(p):
+        raise CeremonyFormatError(f"G2 point off-curve: {s[:32]}...")
+    if C.g2_scalar_mul_affine(p, R_MOD) is not None:
+        raise CeremonyFormatError(f"G2 point outside r-subgroup: {s[:32]}...")
+    return p
+
+
 def _g1_mul(p, k):
     return C.g1_scalar_mul_affine(p, k % R_MOD)
 
@@ -101,8 +133,8 @@ class SchnorrProof:
 
     @staticmethod
     def from_json(d):
-        return SchnorrProof(_de_g1(d["X_g1"]), _de_g2(d["X_g2"]),
-                            _de_g1(d["R"]), int(d["s"], 16))
+        return SchnorrProof(_de_g1_checked(d["X_g1"]), _de_g2_checked(d["X_g2"]),
+                            _de_g1_checked(d["R"]), int(d["s"], 16))
 
 
 def _schnorr_challenge(tag: bytes, transcript_hash: bytes, X_g1, X_g2, R) -> int:
@@ -251,12 +283,14 @@ class Phase1Accumulator:
     # -- verification (utils.rs verify_phase1_x_only) -------------------
     def verify(self, cur: "Phase1Accumulator", proof: Phase1Proof,
                rng=None) -> bool:
-        import numpy as np
-
         if rng is None:
-            rng = np.random.default_rng(
-                int.from_bytes(self.hash()[:8], "little")
-            )
+            # batching weights MUST be verifier-fresh: seeding them from the
+            # previous accumulator (known to the contributor before they
+            # contribute) would let a malicious update craft per-power errors
+            # e_h with sum(r_h*e_h) = 0 that pass the batched checks
+            from ..utils.rng import secure_rng
+
+            rng = secure_rng()
         th = self.hash()
         if not schnorr_verify(proof.proof_alpha, b"tzk/p1/alpha", th):
             return False
@@ -336,11 +370,12 @@ class Phase1Accumulator:
             contributor_index=d["contributor_index"],
             x_len=d["x_len"],
             ax_len=d["ax_len"],
-            x_g1=[_de_g1(s) for s in d["x_g1"]],
-            x_g2=_de_g2(d["x_g2"]),
-            alpha_g1=[_de_g1(s) for s in d["alpha_g1"]],
-            alpha_g2=[_de_g2(s) for s in d["alpha_g2"]],
-            alpha_x_g1=[[_de_g1(s) for s in row] for row in d["alpha_x_g1"]],
+            x_g1=[_de_g1_checked(s) for s in d["x_g1"]],
+            x_g2=_de_g2_checked(d["x_g2"]),
+            alpha_g1=[_de_g1_checked(s) for s in d["alpha_g1"]],
+            alpha_g2=[_de_g2_checked(s) for s in d["alpha_g2"]],
+            alpha_x_g1=[[_de_g1_checked(s) for s in row]
+                        for row in d["alpha_x_g1"]],
         )
 
     @staticmethod
@@ -640,60 +675,151 @@ def phase2_contribute(sigma: Sigma, rng) -> tuple[Sigma, Phase2Proof]:
     return new_sigma, proof
 
 
-def phase2_verify(prev: Sigma, cur: Sigma, proof: Phase2Proof) -> bool:
-    """Pairing + PoK checks that `cur` is a valid contribution over `prev`."""
-    from ..ops import curve as cv
+def _points_equal(a, b) -> bool:
+    return (a is None and b is None) or (a is not None and b is not None
+                                         and tuple(a) == tuple(b))
 
+
+def _packed_equal(fam_a, fam_b) -> bool:
+    import numpy as np
+
+    ax, ay, ai = (np.asarray(t) for t in fam_a)
+    bx, by, bi = (np.asarray(t) for t in fam_b)
+    return (ax.shape == bx.shape and np.array_equal(ax, bx)
+            and np.array_equal(ay, by) and np.array_equal(ai, bi))
+
+
+def _rlc_packed(fam, weights):
+    """Random linear combination sum_i w_i * P_i over a packed family."""
+    from ..ops import msm as msm_mod
+
+    scalars = msm_mod.scalars_from_ints(weights)
+    return msm_mod.msm(scalars, *fam)
+
+
+def phase2_verify(prev: Sigma, cur: Sigma, proof: Phase2Proof,
+                  rng=None) -> bool:
+    """Pairing + PoK checks that `cur` is a valid contribution over `prev`.
+
+    Every Sigma field is covered: immutable fields by exact equality,
+    gamma/delta/eta-scaled fields by pairing ratio checks, and the large
+    inverse-scaled families by ONE random-linear-combination pairing check
+    each with verifier-fresh weights (sound: a contributor cannot predict
+    the weights, so any nonzero per-point error survives the combination
+    with overwhelming probability).  Mirrors `flows/phase2_verify.rs`
+    except the reference checks points pairwise.
+    """
+    from ..utils.rng import secure_rng
+
+    if rng is None:
+        rng = secure_rng()
     th = _sigma_hash(prev)
     for tag, p in ((b"tzk/p2/gamma", proof.proof_gamma),
                    (b"tzk/p2/delta", proof.proof_delta),
                    (b"tzk/p2/eta", proof.proof_eta)):
         if not schnorr_verify(p, tag, th):
             return False
-    # G2 updates carry the claimed exponents:
+    # -- immutable fields must be byte-identical ------------------------
+    s1p, s1c, s2p, s2c = (prev.sigma_1, cur.sigma_1,
+                          prev.sigma_2, cur.sigma_2)
+    if not (_points_equal(prev.G, cur.G) and _points_equal(prev.H, cur.H)
+            and _points_equal(prev.lagrange_KL, cur.lagrange_KL)):
+        return False
+    if not (_points_equal(s1p.x, s1c.x) and _points_equal(s1p.y, s1c.y)):
+        return False
+    if s1p.h_max != s1c.h_max or s1p.rs_y != s1c.rs_y:
+        return False
+    if not _packed_equal(s1p.xy_powers, s1c.xy_powers):
+        return False
+    for k in ("alpha", "alpha2", "alpha3", "alpha4", "x", "y"):
+        if not _points_equal(getattr(s2p, k), getattr(s2c, k)):
+            return False
+    # -- G2 updates carry the claimed exponents -------------------------
     #   e(G1, cur.gamma_G2) == e(X_gamma_g1, prev.gamma_G2)  etc.
+    ng = G1.to_affine(G1.neg(G1.from_affine(G1.gen)))
     for g2_prev, g2_cur, pk in (
-        (prev.sigma_2.gamma, cur.sigma_2.gamma, proof.proof_gamma),
-        (prev.sigma_2.delta, cur.sigma_2.delta, proof.proof_delta),
-        (prev.sigma_2.eta, cur.sigma_2.eta, proof.proof_eta),
+        (s2p.gamma, s2c.gamma, proof.proof_gamma),
+        (s2p.delta, s2c.delta, proof.proof_delta),
+        (s2p.eta, s2c.eta, proof.proof_eta),
     ):
-        ng = G1.to_affine(G1.neg(G1.from_affine(G1.gen)))
         if not multi_pairing([ng, pk.X_g1], [g2_cur, g2_prev]).is_one():
             return False
-    # family scaling consistency (spot-batched):
-    #   e(cur.gamma_inv_o_inst[j], cur.gamma_G2) == e(prev..., prev.gamma_G2)
-    import numpy as np
-
-    rng = np.random.RandomState(int.from_bytes(th[:4], "little"))
-
-    def fam_check(fam_prev, fam_cur, g2_prev, g2_cur, n_spots=4):
-        prev_pts = cv.unpack_affine(fam_prev)
-        cur_pts = cv.unpack_affine(fam_cur)
-        if len(prev_pts) != len(cur_pts):
+    # -- sigma_1.delta / sigma_1.eta scaled by the same exponent as G2 --
+    #   e(cur.s1.delta, prev.s2.delta) == e(prev.s1.delta, cur.s2.delta)
+    for g1_prev, g1_cur, g2_prev, g2_cur in (
+        (s1p.delta, s1c.delta, s2p.delta, s2c.delta),
+        (s1p.eta, s1c.eta, s2p.eta, s2c.eta),
+    ):
+        nc = G1.to_affine(G1.neg(G1.from_affine(g1_cur)))
+        if not multi_pairing([nc, g1_prev], [g2_prev, g2_cur]).is_one():
             return False
-        idxs = rng.randint(0, len(prev_pts), size=min(n_spots, len(prev_pts)))
 
-        for i in idxs:
-            a, b = prev_pts[int(i)], cur_pts[int(i)]
+    # -- inverse-scaled families: full random-linear-combination check --
+    #   cur_i = u^-1 prev_i with g2_cur = u g2_prev
+    #   => e(sum w_i cur_i, g2_cur) == e(sum w_i prev_i, g2_prev)
+    def rlc_check(comb_prev, comb_cur, g2_prev, g2_cur):
+        if comb_prev is None and comb_cur is None:
+            return True
+        if comb_prev is None or comb_cur is None:
+            return False
+        ncb = G1.to_affine(G1.neg(G1.from_affine(comb_cur)))
+        return multi_pairing([ncb, comb_prev], [g2_cur, g2_prev]).is_one()
+
+    def fam_check_packed(fam_prev, fam_cur, g2_prev, g2_cur):
+        import numpy as np
+
+        n_prev = int(np.asarray(fam_prev[2]).size)
+        n_cur = int(np.asarray(fam_cur[2]).size)
+        if n_prev != n_cur:
+            return False
+        ws = [_rand_fr(rng) for _ in range(n_prev)]
+        return rlc_check(_rlc_packed(fam_prev, ws), _rlc_packed(fam_cur, ws),
+                         g2_prev, g2_cur)
+
+    if not fam_check_packed(s1p.gamma_inv_o_inst, s1c.gamma_inv_o_inst,
+                            s2p.gamma, s2c.gamma):
+        return False
+    if not fam_check_packed(s1p.eta_inv_li_o_inter_alpha4_kj,
+                            s1c.eta_inv_li_o_inter_alpha4_kj,
+                            s2p.eta, s2c.eta):
+        return False
+    if not fam_check_packed(s1p.delta_inv_li_o_prv, s1c.delta_inv_li_o_prv,
+                            s2p.delta, s2c.delta):
+        return False
+
+    # -- small delta-inverse list families (host RLC) -------------------
+    def flatten(fam):
+        out = []
+        for item in fam:
+            if isinstance(item, (list, tuple)) and item \
+                    and isinstance(item[0], (list, tuple)) \
+                    and not (len(item) == 2 and isinstance(item[0], int)):
+                out.extend(item)
+            else:
+                out.append(item)
+        return out
+
+    def fam_check_list(list_prev, list_cur, g2_prev, g2_cur):
+        pts_prev, pts_cur = flatten(list_prev), flatten(list_cur)
+        if len(pts_prev) != len(pts_cur):
+            return False
+        acc_prev, acc_cur = G1.infinity, G1.infinity
+        for a, b in zip(pts_prev, pts_cur):
             if (a is None) != (b is None):
                 return False
             if a is None:
                 continue
-            nb = G1.to_affine(G1.neg(G1.from_affine(b)))
-            # e(cur_pt, cur_g2) == e(prev_pt, prev_g2): the scalings cancel
-            if not multi_pairing([nb, a], [g2_cur, g2_prev]).is_one():
-                return False
-        return True
+            w = _rand_fr(rng)
+            acc_prev = G1.add(acc_prev, G1.scalar_mul(G1.from_affine(a), w))
+            acc_cur = G1.add(acc_cur, G1.scalar_mul(G1.from_affine(b), w))
+        return rlc_check(G1.to_affine(acc_prev), G1.to_affine(acc_cur),
+                         g2_prev, g2_cur)
 
-    if not fam_check(prev.sigma_1.gamma_inv_o_inst, cur.sigma_1.gamma_inv_o_inst,
-                     prev.sigma_2.gamma, cur.sigma_2.gamma):
-        return False
-    if not fam_check(prev.sigma_1.eta_inv_li_o_inter_alpha4_kj,
-                     cur.sigma_1.eta_inv_li_o_inter_alpha4_kj,
-                     prev.sigma_2.eta, cur.sigma_2.eta):
-        return False
-    if not fam_check(prev.sigma_1.delta_inv_li_o_prv,
-                     cur.sigma_1.delta_inv_li_o_prv,
-                     prev.sigma_2.delta, cur.sigma_2.delta):
-        return False
+    for fam_prev, fam_cur in (
+        (s1p.delta_inv_alphak_xh_tx, s1c.delta_inv_alphak_xh_tx),
+        ([s1p.delta_inv_alpha4_xj_tx], [s1c.delta_inv_alpha4_xj_tx]),
+        (s1p.delta_inv_alphak_yi_ty, s1c.delta_inv_alphak_yi_ty),
+    ):
+        if not fam_check_list(fam_prev, fam_cur, s2p.delta, s2c.delta):
+            return False
     return True
