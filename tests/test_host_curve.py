@@ -49,6 +49,16 @@ def test_pairing_bilinearity():
     assert e != PR.Fq12.one()
 
 
+def test_final_exp_chain_matches_direct_powering():
+    """The cyclotomic easy+hard chain must equal the direct (q^12-1)/r
+    powering cubed (the chain computes pairing^3; see host/pairing.py)."""
+    ml = PR.miller_loop(C.G1.gen, C.G2.gen)
+    fast = PR.final_exponentiation(ml)
+    direct = PR.final_exponentiation_direct(ml)
+    assert fast == direct * direct * direct
+    assert fast != PR.Fq12.one()
+
+
 @pytest.mark.slow
 def test_multi_pairing_cancellation():
     # e(aG1, G2) * e(-aG1, G2) == 1

@@ -1031,97 +1031,209 @@ def _jac_tree_sum(p):
 
 
 # ---------------------------------------------------------------------------
-# Pippenger MSM (sort + leftover-flush merge tree, all-affine)
+# Pippenger MSM (sort + leftover-flush merge tree, batched-AFFINE arithmetic)
+#
+# Inside the MSM every point is affine (X, Y) with (0, 0) encoding infinity —
+# (0, 0) is not on y^2 = x^3 + 4, and the on-curve point (0, 2) keeps Y != 0,
+# so the encoding is unambiguous.  A batched affine add costs 4 fused-kernel
+# muls + ~3.2 batch-inversion muls per lane versus ~28 for the fused complete
+# jacobian add (which always evaluates both the add and double paths), and
+# carries 2/3 the HBM traffic.  The denominator never vanishes: doubling
+# lanes invert 2y (y != 0 on G1: no 2-torsion), pure adds invert x2 - x1
+# (!= 0 by construction), and infinity/cancel lanes are bypassed with 1.
 # ---------------------------------------------------------------------------
 
-_WBITS = 16  # one 16-bit limb per window
-_NB = 1 << _WBITS
-_DUMMY = _NB  # overflow bucket for non-leftover scatter lanes
 
-
-def _scatter_row(keys, x, y, inf):
-    """Scatter (x, y, inf) into a fresh [24, NB+1] bucket row (unique keys)."""
-    rx = jnp.zeros((FQ_L, _NB + 1), jnp.uint32)
-    ry = jnp.zeros((FQ_L, _NB + 1), jnp.uint32)
-    rinf = jnp.ones((_NB + 1,), jnp.uint32)
-    rx = rx.at[:, keys].set(x)
-    ry = ry.at[:, keys].set(y)
-    rinf = rinf.at[keys].set(inf)
-    return rx, ry, rinf
-
-
-def _scatter_row_jac(keys, X, Y, Z):
-    """Scatter jacobian columns into a fresh [24, NB+1] bucket row (unique
-    keys); untouched buckets stay Z=0 = infinity."""
-    rX = jnp.zeros((FQ_L, _NB + 1), jnp.uint32)
-    rY = jnp.zeros((FQ_L, _NB + 1), jnp.uint32)
-    rZ = jnp.zeros((FQ_L, _NB + 1), jnp.uint32)
-    return (
-        rX.at[:, keys].set(X), rY.at[:, keys].set(Y), rZ.at[:, keys].set(Z)
-    )
-
-
-def _bucket_row_from_sorted(kl, same, X, Y, Z):
-    """Dense [24, NB+1] bucket rows from a merge-tree level's leftovers,
-    WITHOUT a scatter (XLA scatter with multi-million index vectors is the
-    slowest op on TPU; binary-search + gather is milliseconds).
-
-    kl is the level's sorted left-keys; the flush for bucket b sits at the
-    LAST kl == b position (sortedness makes kl==b contiguous, and only the
-    last such pair can have kr != b), and only flushes if that pair did not
-    merge.  Misses produce Z = 0 = infinity."""
-    bidx = jnp.arange(_NB + 1, dtype=kl.dtype)
-    pos = jnp.searchsorted(kl, bidx, side="right").astype(jnp.int32) - 1
-    pos_c = jnp.clip(pos, 0, kl.shape[0] - 1)
-    hit = (pos >= 0) & (kl[pos_c] == bidx) & (~same[pos_c])
-    zero = jnp.uint32(0)
-    rX = jnp.where(hit[None, :], X[:, pos_c], zero)
-    rY = jnp.where(hit[None, :], Y[:, pos_c], zero)
-    rZ = jnp.where(hit[None, :], Z[:, pos_c], zero)
-    return rX, rY, rZ
-
-
-def _msm_window_batch(n: int) -> int:
-    """Windows processed per scan step: bounded by the ~2 x [48, wb*n] u32
-    working set the gathered/sorted copies occupy in HBM."""
-    if n <= (1 << 19):
-        return 16
-    if n <= (1 << 20):
-        return 8
-    if n <= (1 << 21):
-        return 4
-    return 2
+def _iszero_limbs(v):
+    z = v[0] == 0
+    for t in v[1:]:
+        z = z & (t == 0)
+    return z
 
 
 @functools.lru_cache(maxsize=None)
-def _msm_windows_fn(n, wb):
-    """Jitted MSM core for a padded point count n (pow2), wb windows per
-    lax.scan step (window = one 16-bit scalar limb; 16 windows total).
+def _aff_pre_fn(s_total):
+    """Fused kernel: affine-add denominators (no muls).
+
+    denom = 2*y1 on doubling lanes, x2 - x1 on add lanes, 1 (Montgomery) on
+    bypass lanes (either operand infinite, or P + (-P))."""
+    mod = _FQ_MOD
+    L = FQ_L
+
+    def kernel(x1, y1, x2, y2, od):
+        X1 = [x1[i] for i in range(L)]
+        Y1 = [y1[i] for i in range(L)]
+        X2 = [x2[i] for i in range(L)]
+        Y2 = [y2[i] for i in range(L)]
+        inf1 = _iszero_limbs(X1) & _iszero_limbs(Y1)
+        inf2 = _iszero_limbs(X2) & _iszero_limbs(Y2)
+        dx = _subm(X2, X1, mod)
+        dy = _subm(Y2, Y1, mod)
+        xeq = _iszero_limbs(dx)
+        yeq = _iszero_limbs(dy)
+        dbl = (~inf1) & (~inf2) & xeq & yeq
+        bypass = inf1 | inf2 | (xeq & (~yeq))
+        two_y1 = _addm(Y1, Y1, mod)
+        for i in range(L):
+            v = jnp.where(dbl, two_y1[i], dx[i])
+            od[i] = jnp.where(bypass, jnp.uint32(_FQ_ONE[i]), v)
+
+    sb = min(32, s_total)
+    blk = pl.BlockSpec((L, sb, LANES), lambda i: (0, i, 0),
+                       memory_space=pltpu.VMEM)
+    fn = pl.pallas_call(
+        kernel,
+        grid=(s_total // sb,),
+        in_specs=[blk] * 4,
+        out_specs=blk,
+        out_shape=jax.ShapeDtypeStruct((L, s_total, LANES), jnp.uint32),
+        interpret=_INTERPRET,
+    )
+    return jax.jit(fn)
+
+
+@functools.lru_cache(maxsize=None)
+def _aff_post_fn(s_total):
+    """Fused kernel: complete the affine add given inverted denominators.
+
+    4 CIOS muls per lane: x1^2 (for the doubling numerator), lambda, lambda^2,
+    lambda * (x1 - x3).  All special cases resolve via selects."""
+    mod, n0 = _FQ_MOD, _FQ_N0
+    L = FQ_L
+
+    def kernel(x1, y1, x2, y2, di, ox, oy, scratch):
+        X1 = [x1[i] for i in range(L)]
+        Y1 = [y1[i] for i in range(L)]
+        X2 = [x2[i] for i in range(L)]
+        Y2 = [y2[i] for i in range(L)]
+        DI = [di[i] for i in range(L)]
+
+        def mul(a, b):
+            return _mulm_fori(a, b, mod, n0, scratch)
+
+        inf1 = _iszero_limbs(X1) & _iszero_limbs(Y1)
+        inf2 = _iszero_limbs(X2) & _iszero_limbs(Y2)
+        dx = _subm(X2, X1, mod)
+        dy = _subm(Y2, Y1, mod)
+        xeq = _iszero_limbs(dx)
+        yeq = _iszero_limbs(dy)
+        dbl = (~inf1) & (~inf2) & xeq & yeq
+        cancel = (~inf1) & (~inf2) & xeq & (~yeq)
+
+        x1sq = mul(X1, X1)
+        three = _addm(_addm(x1sq, x1sq, mod), x1sq, mod)
+        num = [jnp.where(dbl, three[i], dy[i]) for i in range(L)]
+        lam = mul(num, DI)
+        lam2 = mul(lam, lam)
+        x3 = _subm(_subm(lam2, X1, mod), X2, mod)
+        y3 = _subm(mul(lam, _subm(X1, x3, mod)), Y1, mod)
+
+        def sel(cond, a, b):
+            return [jnp.where(cond, a[i], b[i]) for i in range(L)]
+
+        zeros = [jnp.zeros_like(X1[0])] * L
+        outx = sel(inf1, X2, sel(inf2, X1, sel(cancel, zeros, x3)))
+        outy = sel(inf1, Y2, sel(inf2, Y1, sel(cancel, zeros, y3)))
+        for i in range(L):
+            ox[i] = outx[i]
+            oy[i] = outy[i]
+
+    sb = min(16, s_total)
+    blk = pl.BlockSpec((L, sb, LANES), lambda i: (0, i, 0),
+                       memory_space=pltpu.VMEM)
+    fn = pl.pallas_call(
+        kernel,
+        grid=(s_total // sb,),
+        in_specs=[blk] * 5,
+        out_specs=[blk] * 2,
+        out_shape=[jax.ShapeDtypeStruct((L, s_total, LANES), jnp.uint32)] * 2,
+        scratch_shapes=[pltpu.VMEM((L, sb, LANES), jnp.uint32)],
+        interpret=_INTERPRET,
+    )
+    return jax.jit(fn)
+
+
+def g1_aff_add_batch(p1, p2):
+    """Batched complete affine add: (X, Y) [24, B], (0, 0) = infinity."""
+    X1, Y1 = p1
+    X2, Y2 = p2
+    B = X1.shape[1]
+    a1, _ = _to_blocks(X1, FQ_L)
+    b1, _ = _to_blocks(Y1, FQ_L)
+    a2, _ = _to_blocks(X2, FQ_L)
+    b2, _ = _to_blocks(Y2, FQ_L)
+    s = a1.shape[1]
+    den = _aff_pre_fn(s)(a1, b1, a2, b2)
+    dinv = _batch_inv_nz("fq", den.reshape(FQ_L, -1)).reshape(FQ_L, s, LANES)
+    ox, oy = _aff_post_fn(s)(a1, b1, a2, b2, dinv)
+    return _from_blocks(ox, B), _from_blocks(oy, B)
+
+
+def _digits_all(sc, c):
+    """All ceil(255/c) c-bit windows of [16, n] canonical 16-bit scalar limbs
+    (c <= 16, so a digit spans at most two limbs)."""
+    W = -(-255 // c)
+    mask = jnp.uint32((1 << c) - 1)
+    outs = []
+    for w in range(W):
+        lo = w * c
+        i, off = lo // 16, lo % 16
+        d = sc[i] >> jnp.uint32(off)
+        if 16 - off < c and i + 1 < 16:
+            d = d | (sc[i + 1] << jnp.uint32(16 - off))
+        outs.append(d & mask)
+    return jnp.stack(outs)
+
+
+def _msm_c(n: int) -> int:
+    """Window bit-width minimizing modeled work: W(c) * (K*n data movement +
+    merge adds + per-level bucket-row flush adds + weighted-tail adds)."""
+    logn = max(1, n.bit_length() - 1)
+    best, bestc = None, 16
+    for c in range(4, 17):
+        W = -(-255 // c)
+        cost = W * (3 * n + logn * (1 << c) + (1 << (c + 1)))
+        if best is None or cost < best:
+            best, bestc = cost, c
+    return bestc
+
+
+def _msm_wb(n: int, c: int, W: int) -> int:
+    """Windows per lax.scan step: bounded by the ~[48, wb*n] u32 gathered
+    working set and the [24, wb*2^c] flush-row width."""
+    wb = max(1, min(W, (1 << 23) // n))
+    while wb > 1 and wb * (1 << c) > (1 << 22):
+        wb //= 2
+    return wb
+
+
+@functools.lru_cache(maxsize=None)
+def _msm_windows_fn(n, wb, c):
+    """Jitted MSM core for a padded point count n (pow2): W = ceil(255/c)
+    windows of c bits, wb windows per lax.scan step.
 
     Bucket accumulation = sorted merge tree in BIT-REVERSED order: after the
     per-window sort, elements are laid out bit-reversed so every level pairs
     the two CONTIGUOUS halves (i, i + m/2) — the natural-order adjacent
     pairing `[0::2]/[1::2]` costs ~0.7 s per level at 2^22 in lane-misaligned
     strided-slice relayouts, contiguous halves ~12 ms.  Same-key pairs merge
-    with one fused jacobian add; boundary pairs flush the left partial into
+    with one batched affine add; boundary pairs flush the left partial into
     per-window bucket rows with ONE batched scatter per level (at most one
-    real writer per bucket; dead lanes target the sliced-off DUMMY column).
-    Point work: exactly n-1 adds per window — the minimum.  The weighted
-    bucket sum T = sum_b b * B_b runs once for all 16 windows after the scan
-    (window-batched pair halving), with the 2^level weighting deferred to
-    the host combine.
+    real writer per bucket; dead/merged lanes land in bucket 0, whose weight
+    in the bucket sum is zero).  Point work: exactly n-1 adds per window —
+    the minimum.  The weighted bucket sum T = sum_b b * B_b runs once for
+    all windows after the scan (window-batched pair halving), with the
+    2^level weighting deferred to the host combine.
 
-    Returns (sX, sY, sZ) each [16, NLEV, 24]:
+    Returns (sX, sY) each [W_padded, c, 24] affine singles ((0,0) = inf):
     window value = sum_level 2^level * single[window, level].
     """
+    NB = 1 << c
     br = jnp.asarray(_bitrev_idx(n))
 
     # All point arrays stay FLAT [24, wb*width] (window-major): 3-D shapes
     # with a small middle dim pad the sublane axis 4-8x in HBM (a 2^22 run
-    # OOM'd at 21.4 GB of 15.75 GB purely from tile padding).  Dead lanes
-    # (padding, infinities, merged pairs, digit-0 points) all map to bucket
-    # 0, whose weight in the bucket sum is zero — so there is no DUMMY
-    # column and no slicing.
+    # OOM'd at 21.4 GB of 15.75 GB purely from tile padding).
 
     def _halves(a, wb, m):
         """Flat [24, wb*m] -> contiguous per-window halves [24, wb*(m//2)]."""
@@ -1144,25 +1256,21 @@ def _msm_windows_fn(n, wb):
         src = jnp.concatenate([xp, yp], axis=0)    # [48, n]
         g = jnp.take(src, order.reshape(-1), axis=1)  # [48, wb*n]
         X, Y = g[:FQ_L], g[FQ_L:]
-        one = jnp.asarray(_one_col_np("fq"))
-        Z = jnp.where(
-            (key == jnp.uint32(0)).reshape(1, wb * n),
-            jnp.uint32(0),
-            jnp.broadcast_to(one, (FQ_L, wb * n)),
-        )
+        dead = (key == jnp.uint32(0)).reshape(1, wb * n)
+        X = jnp.where(dead, jnp.uint32(0), X)  # digit 0 -> (0,0) = infinity
+        Y = jnp.where(dead, jnp.uint32(0), Y)
 
-        woff = (jnp.arange(wb, dtype=jnp.uint32) * jnp.uint32(_NB))[:, None]
-        zeroNB = jnp.zeros((FQ_L, wb * _NB), jnp.uint32)
-        bX, bY, bZ = zeroNB, zeroNB, zeroNB  # Z=0 everywhere = all-infinity
+        woff = (jnp.arange(wb, dtype=jnp.uint32) * jnp.uint32(NB))[:, None]
+        zeroNB = jnp.zeros((FQ_L, wb * NB), jnp.uint32)
+        bX, bY = zeroNB, zeroNB  # (0,0) everywhere = all-infinity
 
-        def flush_and_add(acc, lk, pX, pY, pZ):
+        def flush_and_add(acc, lk, pX, pY):
             flatk = (lk + woff).reshape(-1)
             row = tuple(
-                jnp.zeros((FQ_L, wb * _NB), jnp.uint32)
-                .at[:, flatk].set(c)
-                for c in (pX, pY, pZ)
+                jnp.zeros((FQ_L, wb * NB), jnp.uint32).at[:, flatk].set(p)
+                for p in (pX, pY)
             )
-            return g1_add_fused(acc, row)
+            return g1_aff_add_batch(acc, row)
 
         m = n
         while m > 1:
@@ -1170,112 +1278,107 @@ def _msm_windows_fn(n, wb):
             kl, kr = key[:, :h], key[:, h:]
             lX, rX = _halves(X, wb, m)
             lY, rY = _halves(Y, wb, m)
-            lZ, rZ = _halves(Z, wb, m)
             same2 = kl == kr  # [wb, h]
             same = same2.reshape(1, wb * h)
-            mX, mY, mZ = g1_add_fused((lX, lY, lZ), (rX, rY, rZ))
+            mX, mY = g1_aff_add_batch((lX, lY), (rX, rY))
             X = jnp.where(same, mX, rX)
             Y = jnp.where(same, mY, rY)
-            Z = jnp.where(same, mZ, rZ)
             lk = jnp.where(same2, jnp.uint32(0), kl)  # merged -> bucket 0
-            bX, bY, bZ = flush_and_add((bX, bY, bZ), lk, lX, lY, lZ)
+            bX, bY = flush_and_add((bX, bY), lk, lX, lY)
             key = kr
             m = h
-        # final survivor (never merged; Z=0 already encodes infinity)
-        bX, bY, bZ = flush_and_add((bX, bY, bZ), key, X, Y, Z)
-        return carry, (bX, bY, bZ)
+        # final survivor (never merged)
+        bX, bY = flush_and_add((bX, bY), key, X, Y)
+        return carry, (bX, bY)
 
     def run(scalars, xp, yp, infp):
+        digits = _digits_all(scalars, c)  # [W, n]
+        W = digits.shape[0]
         # dead inputs -> bucket 0 (weight zero)
-        key_all = jnp.where(
-            infp[None, :].astype(bool), jnp.uint32(0), scalars
-        )  # [16, n]
-        steps = FR_L // wb
+        key_all = jnp.where(infp[None, :].astype(bool), jnp.uint32(0), digits)
+        steps = -(-W // wb)
+        if steps * wb != W:
+            key_all = jnp.pad(key_all, ((0, steps * wb - W), (0, 0)))
         ks = key_all.reshape(steps, wb, n)
-        _, (bXs, bYs, bZs) = jax.lax.scan(step_body, (xp, yp), ks)
-        # [S, 24, wb*NB] -> [24, 16, NB] (step-major window order == window
-        # order, since ks was reshaped window-major)
-        bX = jnp.moveaxis(bXs, 1, 0).reshape(FQ_L, FR_L, _NB)
-        bY = jnp.moveaxis(bYs, 1, 0).reshape(FQ_L, FR_L, _NB)
-        bZ = jnp.moveaxis(bZs, 1, 0).reshape(FQ_L, FR_L, _NB)
-        return _weighted_bucket_tail(bX, bY, bZ)
+        _, (bXs, bYs) = jax.lax.scan(step_body, (xp, yp), ks)
+        # [S, 24, wb*NB] -> [24, S*wb, NB] (step-major == window order)
+        bX = jnp.moveaxis(bXs, 1, 0).reshape(FQ_L, steps * wb, NB)
+        bY = jnp.moveaxis(bYs, 1, 0).reshape(FQ_L, steps * wb, NB)
+        return _weighted_bucket_tail(bX, bY)
 
     return jax.jit(run)
 
 
-def _jac_tree_sum_last(p):
-    """Reduce (X [24, W, m], Y, Z) to [24, W] by fused-add halving along the
+def _aff_tree_sum_last(X, Y):
+    """Reduce (X [24, W, m], Y) to [24, W] by affine-add halving along the
     last axis (m a power of two), batching the window axis."""
-    X, Y, Z = p
     L, W, m = X.shape
     while m > 1:
         h = m // 2
-        args1 = tuple(c[:, :, :h].reshape(L, W * h) for c in (X, Y, Z))
-        args2 = tuple(c[:, :, h:].reshape(L, W * h) for c in (X, Y, Z))
-        X, Y, Z = (c.reshape(L, W, h) for c in g1_add_fused(args1, args2))
+        a1 = tuple(v[:, :, :h].reshape(L, W * h) for v in (X, Y))
+        a2 = tuple(v[:, :, h:].reshape(L, W * h) for v in (X, Y))
+        X, Y = (v.reshape(L, W, h) for v in g1_aff_add_batch(a1, a2))
         m = h
-    return X[:, :, 0], Y[:, :, 0], Z[:, :, 0]
+    return X[:, :, 0], Y[:, :, 0]
 
 
-def _weighted_bucket_tail(bX, bY, bZ):
+def _weighted_bucket_tail(bX, bY):
     """sum_b b * B[w, b] for every window at once via pair halving
     (T(B) = 2*T(B_even + B_odd) + sum(B_odd)), deferring the 2^level
-    weighting to the host combine.  Input [24, W, NB]; returns per-window
-    per-level singles (sX, sY, sZ) each [W, NLEV, 24]."""
+    weighting to the host combine.  Input [24, W, NB] affine; returns
+    per-window per-level singles (sX, sY) each [W, NLEV, 24]."""
     L, W, nb = bX.shape
-    sXs, sYs, sZs = [], [], []
+    sXs, sYs = [], []
     while nb > 1:
-        ev = (bX[:, :, 0::2], bY[:, :, 0::2], bZ[:, :, 0::2])
-        od = (bX[:, :, 1::2], bY[:, :, 1::2], bZ[:, :, 1::2])
-        sX, sY, sZ = _jac_tree_sum_last(od)  # [24, W]
+        ev = (bX[:, :, 0::2], bY[:, :, 0::2])
+        od = (bX[:, :, 1::2], bY[:, :, 1::2])
+        sX, sY = _aff_tree_sum_last(*od)  # [24, W]
         sXs.append(sX)
         sYs.append(sY)
-        sZs.append(sZ)
         h = nb // 2
-        args1 = tuple(c.reshape(L, W * h) for c in ev)
-        args2 = tuple(c.reshape(L, W * h) for c in od)
-        bX, bY, bZ = (
-            c.reshape(L, W, h) for c in g1_add_fused(args1, args2)
-        )
+        a1 = tuple(v.reshape(L, W * h) for v in ev)
+        a2 = tuple(v.reshape(L, W * h) for v in od)
+        bX, bY = (v.reshape(L, W, h) for v in g1_aff_add_batch(a1, a2))
         nb = h
     # [NLEV, 24, W] -> [W, NLEV, 24]
-    return (
-        jnp.stack(sXs).transpose(2, 0, 1),
-        jnp.stack(sYs).transpose(2, 0, 1),
-        jnp.stack(sZs).transpose(2, 0, 1),
-    )
+    return jnp.stack(sXs).transpose(2, 0, 1), jnp.stack(sYs).transpose(2, 0, 1)
 
 
 def g1_msm(scalars, px, py, pinf):
     """Full MSM -> jacobian [3, 24] u32 rows (matches native G1Msm).
 
-    Device work: 16 scanned windows x (argsort + N batched affine adds +
-    bucket halving); the 16x16 weighted single points are pulled to the host
+    Device work: W scanned windows x (argsort + n batched affine adds +
+    bucket halving); the W x c weighted single points are pulled to the host
     once and combined exactly via the power-of-two Horner in host/curve.py —
     the same split as the reference, which runs its Fiat-Shamir/"tiny
-    sequential tail" work on CPU.
-    """
+    sequential tail" work on CPU.  Window width c adapts to the point count
+    (small MSMs use small bucket grids so the per-level flush adds do not
+    dominate)."""
     from ..host.curve import G1
 
     N = px.shape[1]
     n = max(2, 1 << (N - 1).bit_length())
+    c = _msm_c(n)
+    W = -(-255 // c)
+    wb = _msm_wb(n, c, W)
     pinf = pinf.astype(jnp.uint32)
     xp = jnp.pad(px, ((0, 0), (0, n - N)))
     yp = jnp.pad(py, ((0, 0), (0, n - N)))
     infp = jnp.pad(pinf, (0, n - N), constant_values=1)
     sc = jnp.pad(scalars.astype(jnp.uint32), ((0, 0), (0, n - N)))
-    sX, sY, sZ = _msm_windows_fn(n, _msm_window_batch(n))(sc, xp, yp, infp)
-    sXh, sYh, sZh = np.asarray(sX), np.asarray(sY), np.asarray(sZ)
+    sX, sY = _msm_windows_fn(n, wb, c)(sc, xp, yp, infp)
+    sXh, sYh = np.asarray(sX), np.asarray(sY)
     exps, pts = [], []
-    for wi in range(FR_L):
+    for wi in range(sXh.shape[0]):  # includes padded windows (all-infinity)
         for lev in range(sXh.shape[1]):
-            exps.append(_WBITS * wi + lev)
+            if not (sXh[wi, lev].any() or sYh[wi, lev].any()):
+                continue  # (0,0) = infinity
+            exps.append(c * wi + lev)
             pts.append((
                 FQ.from_mont(FQ.from_limbs(sXh[wi, lev])),
                 FQ.from_mont(FQ.from_limbs(sYh[wi, lev])),
-                FQ.from_mont(FQ.from_limbs(sZh[wi, lev])),
             ))
-    X, Y, Z = G1.msm_pow2_jac(exps, pts)  # jacobian host tuple (Z=0 at inf)
+    X, Y, Z = G1.msm_pow2(exps, pts)  # jacobian host tuple (Z=0 at inf)
     rows = np.zeros((3, FQ_L), np.uint32)
     rows[0] = FQ.to_limbs(FQ.to_mont(X))
     rows[1] = FQ.to_limbs(FQ.to_mont(Y))

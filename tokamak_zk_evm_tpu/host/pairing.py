@@ -9,11 +9,28 @@ Construction (standard):
   Fq12 = Fq[w] / (w^12 - 2w^6 + 2)
   which contains Fq2 = Fq[u]/(u^2+1) via u = w^6 - 1, and the sextic twist
   E': y^2 = x^3 + 4(1+u) over Fq2 maps into E(Fq12) by
-  (x, y) -> (x * w^2, y * w^3)   [since (1+u) = w^6].
-  Ate Miller loop over |u_BLS| = 0xd201000000010000, final exponentiation by
-  direct powering with (q^12 - 1)/r (simplicity over speed; this module is a
-  correctness anchor — a tuned C++ version can replace it without touching
-  callers).
+  (x, y) -> (x / w^2, y / w^3)   [since (1+u) = w^6].
+
+Implementation choices (all standard, re-derived here, see tests):
+  * Miller loop f_{|u|}(Q)(P), |u| = 0xd201000000010000, with Q kept in
+    homogeneous projective coordinates ON THE TWIST (Fq2 arithmetic) — no
+    field inversions anywhere in the loop.  Line values are evaluated at P
+    pushed onto the twist side, (xp*w^2, yp*w^3), giving the sparse Fq12
+    element  c0 + (c1*xp)*w^2 + (c2*yp)*w^3  (tangent: c0 = 3b'Z^2 - Y^2,
+    c1 = 3X^2, c2 = -2YZ; chord against affine Q: theta = Y - yq*Z,
+    lam = X - xq*Z, c0 = lam*yq - theta*xq, c1 = theta, c2 = -lam).  Any
+    Fq2-scalar factor of a line washes out in the final exponentiation
+    because r | (q^12-1)/(q^2-1).
+  * Final exponentiation by the cyclotomic decomposition
+    (q^12-1)/r = (q^6-1)(q^2+1) * d,  with the Hayashida–Hayasaka–Teruya
+    BLS12 hard part  3d = (x-1)^2 (x+q) (x^2+q^2-1) + 3:  the easy part is
+    one inversion + conjugation + Frobenius, the hard part five
+    exponentiations by |x| (64 squarings each) — versus ~4300 squarings for
+    the direct (q^12-1)/r powering.  The computed map is pairing(P,Q)^3;
+    cubing is a group automorphism of the order-r target group (3 does not
+    divide r), so every equality / is_one check the protocol performs is
+    unaffected, and both prover and verifier use this same map.
+    `tests/test_host_curve.py` pins the chain against the direct powering.
 
 The sign of the BLS parameter is not special-cased: this yields a fixed
 bilinear non-degenerate pairing (possibly the inverse of the optimal-ate
@@ -24,15 +41,18 @@ of every check use the same pairing.
 from __future__ import annotations
 
 from ..fields import Q_MOD, R_MOD
+from .curve import Fq2 as F2
 
 # BLS parameter |u|; u = -0xd201000000010000
 ATE_LOOP_COUNT = 0xD201000000010000
 
-# Fq12 modulus coefficients: w^12 = 2*w^6 - 2
-_W12_COEFF_6 = 2
-_W12_COEFF_0 = -2
-
 FINAL_EXP = (Q_MOD**12 - 1) // R_MOD
+
+_TWO_INV = pow(2, -1, Q_MOD)
+
+# Twist curve E': y^2 = x^3 + 4(1+u)
+_B_TWIST = (4, 4)
+_3B_TWIST = (12, 12)
 
 
 class Fq12:
@@ -97,13 +117,15 @@ class Fq12:
     def square(self):
         return self * self
 
+    def conjugate(self):
+        """f^(q^6): the order-2 Galois automorphism w -> -w."""
+        return Fq12(tuple(-x if (i & 1) else x for i, x in enumerate(self.c)))
+
     def inv(self):
         # extended Euclid in Fq[w] against the modulus polynomial
         lm, hm = [1] + [0] * 12, [0] * 13
         low = list(self.c) + [0]
-        high = [_W12_COEFF_0 % Q_MOD, 0, 0, 0, 0, 0, (-_W12_COEFF_6) % Q_MOD, 0, 0, 0, 0, 0, 1]
-        # high = w^12 - 2w^6 + 2 as monic poly coeffs
-        high = [(2) % Q_MOD, 0, 0, 0, 0, 0, (-2) % Q_MOD, 0, 0, 0, 0, 0, 1]
+        high = [2, 0, 0, 0, 0, 0, (-2) % Q_MOD, 0, 0, 0, 0, 0, 1]
 
         def deg(p):
             for i in reversed(range(len(p))):
@@ -165,57 +187,182 @@ def twist_g2_to_fq12(q_affine):
     return (Fq12.from_fq2(x) * _W2_INV, Fq12.from_fq2(y) * _W3_INV)
 
 
-def _line_double(r, p):
-    """Line through R,R evaluated at P; returns (line_value, 2R).
+# ---------------------------------------------------------------------------
+# Frobenius: tables T_k[i] = (w^(q^k))^i so that
+# frob_k(sum c_i w^i) = sum c_i * T_k[i]   (c_i in Fq are Frobenius-fixed)
+# ---------------------------------------------------------------------------
 
-    r: jacobian-free affine point over Fq12; p: affine over Fq12 (embedded G1).
-    """
-    xr, yr = r
-    xp, yp = p
-    three = Fq12.from_fq(3)
-    two = Fq12.from_fq(2)
-    slope = (xr * xr * three) * (yr * two).inv()
-    x3 = slope * slope - xr * two
-    y3 = slope * (xr - x3) - yr
-    line = slope * (xp - xr) - (yp - yr)
-    return line, (x3, y3)
+_FROB_TABLES: dict = {}
 
 
-def _line_add(r, q, p):
-    xr, yr = r
-    xq, yq = q
-    xp, yp = p
-    if xr == xq and yr == yq:
-        return _line_double(r, p)
-    if xr == xq:
-        # vertical line
-        return (xp - xr), None
-    slope = (yq - yr) * (xq - xr).inv()
-    x3 = slope * slope - xr - xq
-    y3 = slope * (xr - x3) - yr
-    line = slope * (xp - xr) - (yp - yr)
-    return line, (x3, y3)
+def _frob_table(k: int):
+    tbl = _FROB_TABLES.get(k)
+    if tbl is None:
+        if k == 1:
+            wq = _W.pow(Q_MOD)
+        else:
+            prev = _frob_table(k - 1)
+            wq = _frob1(prev[1])
+        tbl = [Fq12.one()]
+        for _ in range(11):
+            tbl.append(tbl[-1] * wq)
+        _FROB_TABLES[k] = tbl
+    return tbl
+
+
+def _frob1(f: Fq12) -> Fq12:
+    tbl = _frob_table(1)
+    acc = [0] * 12
+    for i, ci in enumerate(f.c):
+        if ci == 0:
+            continue
+        ti = tbl[i].c
+        for j in range(12):
+            acc[j] += ci * ti[j]
+    return Fq12(acc)
+
+
+def _frob_k(f: Fq12, k: int) -> Fq12:
+    if k == 6:
+        return f.conjugate()
+    tbl = _frob_table(k)
+    acc = [0] * 12
+    for i, ci in enumerate(f.c):
+        if ci == 0:
+            continue
+        ti = tbl[i].c
+        for j in range(12):
+            acc[j] += ci * ti[j]
+    return Fq12(acc)
+
+
+# ---------------------------------------------------------------------------
+# Miller loop: projective twist coordinates, inversion-free sparse lines
+# ---------------------------------------------------------------------------
+
+
+def _f2_half(a):
+    return ((a[0] * _TWO_INV) % Q_MOD, (a[1] * _TWO_INV) % Q_MOD)
+
+
+def _f2_triple(a):
+    return ((3 * a[0]) % Q_MOD, (3 * a[1]) % Q_MOD)
+
+
+def _line_fq12(c0, c1xp, c2yp):
+    """Sparse line value  from_fq2(c0) + from_fq2(c1xp)*w^2 + from_fq2(c2yp)*w^3.
+
+    from_fq2(a) occupies basis slots (0, 6); *w^2 shifts to (2, 8); *w^3 to
+    (3, 9) — built directly, no Fq12 multiplies."""
+    c = [0] * 12
+    c[0] = c0[0] - c0[1]
+    c[6] = c0[1]
+    c[2] = c1xp[0] - c1xp[1]
+    c[8] = c1xp[1]
+    c[3] = c2yp[0] - c2yp[1]
+    c[9] = c2yp[1]
+    return Fq12(c)
 
 
 def miller_loop(p_g1_affine, q_g2_affine) -> Fq12:
-    """f_{|u|}(Q)(P) without final exponentiation."""
+    """f_{|u|}(Q)(P) without final exponentiation.
+
+    R = (X, Y, Z) homogeneous on the twist; doubling/mixed-addition formulas
+    are the standard pairing set (Costello et al. / arkworks `doubling_step`
+    and `addition_step`)."""
     if p_g1_affine is None or q_g2_affine is None:
         return Fq12.one()
-    px, py = p_g1_affine
-    p = (Fq12.from_fq(px), Fq12.from_fq(py))
-    q = twist_g2_to_fq12(q_g2_affine)
+    xp, yp = p_g1_affine
+    xq, yq = q_g2_affine
+    X, Y, Z = xq, yq, F2.one
     f = Fq12.one()
-    r = q
+    mul, sub, add = F2.mul, F2.sub, F2.add
     for bit in bin(ATE_LOOP_COUNT)[3:]:
-        line, r = _line_double(r, p)
-        f = f * f * line
+        # -- doubling step + tangent line --
+        a = _f2_half(mul(X, Y))
+        b = mul(Y, Y)
+        cz = mul(Z, Z)
+        e = (_3B_TWIST[0] * cz[0] - _3B_TWIST[1] * cz[1],
+             _3B_TWIST[0] * cz[1] + _3B_TWIST[1] * cz[0])
+        e = (e[0] % Q_MOD, e[1] % Q_MOD)   # e = 3b' * Z^2
+        f3 = _f2_triple(e)
+        g = _f2_half(add(b, f3))
+        yz = mul(Y, Z)
+        h = add(yz, yz)                     # 2YZ
+        i = sub(e, b)                       # c0 = 3b'Z^2 - Y^2
+        j = mul(X, X)
+        e2 = mul(e, e)
+        X = mul(a, sub(b, f3))
+        Y = sub(mul(g, g), ((3 * e2[0]) % Q_MOD, (3 * e2[1]) % Q_MOD))
+        Z = mul(b, h)
+        c1 = _f2_triple(j)                  # 3X^2
+        c2 = F2.neg(h)                      # -2YZ
+        line = _line_fq12(
+            i,
+            ((c1[0] * xp) % Q_MOD, (c1[1] * xp) % Q_MOD),
+            ((c2[0] * yp) % Q_MOD, (c2[1] * yp) % Q_MOD),
+        )
+        f = line * (f * f)
         if bit == "1":
-            line, r = _line_add(r, q, p)
-            f = f * line
+            # -- mixed addition step + chord line --
+            theta = sub(Y, mul(yq, Z))
+            lam = sub(X, mul(xq, Z))
+            C = mul(theta, theta)
+            D = mul(lam, lam)
+            E = mul(lam, D)
+            F = mul(Z, C)
+            G = mul(X, D)
+            H = sub(add(E, F), add(G, G))
+            X = mul(lam, H)
+            Y = sub(mul(theta, sub(G, H)), mul(E, Y))
+            Z = mul(Z, E)
+            c0 = sub(mul(lam, yq), mul(theta, xq))
+            c2 = F2.neg(lam)
+            line = _line_fq12(
+                c0,
+                ((theta[0] * xp) % Q_MOD, (theta[1] * xp) % Q_MOD),
+                ((c2[0] * yp) % Q_MOD, (c2[1] * yp) % Q_MOD),
+            )
+            f = line * f
     return f
 
 
+# ---------------------------------------------------------------------------
+# Final exponentiation: easy part + HHT hard part (computes f^(3*(q^12-1)/r))
+# ---------------------------------------------------------------------------
+
+
+def _cyc_exp_abs_x(t: Fq12) -> Fq12:
+    """t^|x| for the BLS parameter magnitude (plain square-and-multiply)."""
+    result = Fq12.one()
+    base = t
+    e = ATE_LOOP_COUNT
+    while e:
+        if e & 1:
+            result = result * base
+        base = base.square()
+        e >>= 1
+    return result
+
+
 def final_exponentiation(f: Fq12) -> Fq12:
+    """f^(3*(q^12-1)/r)  — see the module docstring for why the harmless
+    factor 3 is kept (equality / is_one semantics are unchanged)."""
+    # easy part: f^((q^6-1)(q^2+1))
+    t = f.conjugate() * f.inv()
+    m = _frob_k(t, 2) * t
+    # hard part: m^(3d), 3d = (x-1)^2 (x+q) (x^2+q^2-1) + 3, x = -|x|
+    # t^x = conj(t^|x|) since x < 0 and t is in the cyclotomic subgroup
+    a = (_cyc_exp_abs_x(m) * m).conjugate()            # m^(x-1)
+    b = (_cyc_exp_abs_x(a) * a).conjugate()            # m^((x-1)^2)
+    c = _cyc_exp_abs_x(b).conjugate() * _frob1(b)      # b^(x+q)
+    r3 = _cyc_exp_abs_x(_cyc_exp_abs_x(c)) * _frob_k(c, 2) * c.conjugate()
+    return r3 * m * m * m                              # c^(x^2+q^2-1) * m^3
+
+
+def final_exponentiation_direct(f: Fq12) -> Fq12:
+    """Direct powering by (q^12-1)/r — the correctness oracle for the chain
+    (chain(f) == direct(f)^3, pinned in tests/test_host_curve.py)."""
     return f.pow(FINAL_EXP)
 
 
