@@ -97,6 +97,26 @@ def test_corrupt_file_rejected(tmp_path, sigma_and_params):
         RK.read_combined_sigma(bad, params)
 
 
+def test_truncated_and_garbage_files_degrade_gracefully(tmp_path, sigma_and_params):
+    """auto mode must raise RkyvError (trying every candidate), never crash
+    with a raw ValueError/IndexError from np.frombuffer on malformed input."""
+    sigma, params = sigma_and_params
+    path = str(tmp_path / "combined_sigma.rkyv")
+    RK.write_combined_sigma(sigma, params, path)
+    data = open(path, "rb").read()
+    cases = {
+        "truncated_half": data[: len(data) // 2] + data[-2552:],  # root ok, body cut
+        "truncated_tiny": data[:100],
+        "garbage": bytes(np.random.default_rng(0).integers(0, 256, len(data), dtype=np.uint8)),
+        "zeros": bytes(len(data)),
+    }
+    for name, blob in cases.items():
+        bad = str(tmp_path / f"{name}.rkyv")
+        open(bad, "wb").write(blob)
+        with pytest.raises(RK.RkyvError):
+            RK.read_combined_sigma(bad, params)
+
+
 def test_prove_on_rkyv_loaded_sigma(tmp_path, sigma_and_params):
     """A CRS that went through the rkyv archive must prove+verify."""
     sigma, params = sigma_and_params

@@ -1200,11 +1200,14 @@ def _msm_c(n: int) -> int:
 
 def _msm_wb(n: int, c: int, W: int) -> int:
     """Windows per lax.scan step: bounded by the ~[48, wb*n] u32 gathered
-    working set and the [24, wb*2^c] flush-row width."""
+    working set and the [24, wb*2^c] flush-row width; balanced so the last
+    scan step is not mostly padding (e.g. W=17 at wb=8 would run 24 window
+    slots — rebalancing to wb=6 runs 18)."""
     wb = max(1, min(W, (1 << 23) // n))
     while wb > 1 and wb * (1 << c) > (1 << 22):
         wb //= 2
-    return wb
+    steps = -(-W // wb)
+    return -(-W // steps)
 
 
 @functools.lru_cache(maxsize=None)

@@ -196,6 +196,10 @@ def _g1_family_from_section(buf: memoryview, pos: int, n: int):
 
     from ..ops import field as F
 
+    if n < 0 or pos < 0 or pos + n * 96 > len(buf):
+        raise RkyvError(
+            f"G1 section [{pos}, {pos + n * 96}) out of bounds ({len(buf)})"
+        )
     raw = np.frombuffer(buf, dtype=np.uint8, count=n * 96, offset=pos)
     raw = raw.reshape(n, 96)
     xl = raw[:, :48].copy().view("<u2").astype(np.uint32).T  # [24, n]
@@ -467,6 +471,10 @@ def write_sigma_preprocess(sigma, params, path: str, mode: str = "align_desc"):
 
 
 def _parse_g1_vec_points(buf, pos, n):
+    if n < 0 or pos < 0 or pos + 96 * n > len(buf):
+        raise RkyvError(
+            f"G1 vec [{pos}, {pos + 96 * n}) out of bounds ({len(buf)})"
+        )
     return [_read_g1(buf, pos + 96 * i) for i in range(n)]
 
 
@@ -600,7 +608,10 @@ def read_combined_sigma(path: str, params, mode: str = "auto"):
     for m in modes:
         try:
             return _parse_combined(buf, params, m)
-        except (RkyvError, struct.error) as e:
+        except (ValueError, IndexError, struct.error) as e:
+            # ValueError covers RkyvError and np.frombuffer size errors;
+            # IndexError covers malformed empty sections — auto mode must
+            # degrade to the next layout candidate, never crash
             errors.append(f"{m}: {e}")
     raise RkyvError("no layout mode matched: " + "; ".join(errors))
 
@@ -643,6 +654,9 @@ def read_sigma_preprocess(path: str, params, mode: str = "auto"):
     for m in modes:
         try:
             return _parse_preprocess(buf, params, m)
-        except (RkyvError, struct.error) as e:
+        except (ValueError, IndexError, struct.error) as e:
+            # ValueError covers RkyvError and np.frombuffer size errors;
+            # IndexError covers malformed empty sections — auto mode must
+            # degrade to the next layout candidate, never crash
             errors.append(f"{m}: {e}")
     raise RkyvError("no layout mode matched: " + "; ".join(errors))
