@@ -86,3 +86,34 @@ def test_msm_dist_large():
     total = sum(k * c for k, c in zip(ks, cs)) % R_MOD
     want = C.g1_scalar_mul_affine(C.G1.gen, total)
     assert got == want
+
+
+def test_full_prove_under_mesh_context():
+    """The whole 5-round prover under parallel.context.use_mesh (bintt ->
+    all-to-all dist transform, msm -> sharded partials) must produce a proof
+    bit-identical to the unsharded run, and it must verify."""
+    from tokamak_zk_evm_tpu.models.preprocess import preprocess
+    from tokamak_zk_evm_tpu.models.protocol import Mixer
+    from tokamak_zk_evm_tpu.models.prover import Prover
+    from tokamak_zk_evm_tpu.models.setup import Tau, generate_sigma
+    from tokamak_zk_evm_tpu.models.verifier import Verifier
+    from tokamak_zk_evm_tpu.parallel import context
+    from tokamak_zk_evm_tpu.parallel.mesh import make_mesh
+    from tokamak_zk_evm_tpu.testing.fixtures import build_fixture
+
+    fx = build_fixture()
+    sigma = generate_sigma(fx.params, Tau.fixed(), fx.library, fx.infos)
+
+    def prove():
+        return Prover(
+            fx.params, sigma, fx.library, fx.infos, fx.placements,
+            fx.permutation, fx.instance, mixer=Mixer.zero(),
+        ).prove()
+
+    mesh = make_mesh(8)
+    with context.use_mesh(mesh):
+        proof_sharded, _ = prove()
+    proof_plain, _ = prove()
+    assert proof_sharded == proof_plain
+    pre = preprocess(sigma, fx.permutation, fx.instance, fx.params)
+    assert Verifier(fx.params, sigma, pre, fx.instance, proof_sharded).verify_snark()

@@ -25,8 +25,33 @@ from . import field as F
 
 
 def msm(scalars_canonical, px, py, pinf):
-    """MSM -> host affine ((x, y) ints) or None for the identity."""
+    """MSM -> host affine ((x, y) ints) or None for the identity.
+
+    With an active mesh context (`parallel.context.use_mesh`) the points are
+    padded to a multiple of the mesh size (zero scalars on infinities) and
+    sharded across chips via `parallel.msm_dist`."""
     from ..host.curve import G1
+    from ..parallel import context
+
+    mesh = context.get_mesh()
+    if mesh is not None:
+        from ..parallel.mesh import AXIS
+
+        n_dev = mesh.shape[AXIS]
+        if n_dev > 1:
+            from ..parallel import msm_dist
+
+            s = jnp.asarray(scalars_canonical)
+            px, py = jnp.asarray(px), jnp.asarray(py)
+            pinf = jnp.asarray(pinf)
+            N = px.shape[1]
+            Np = -(-N // n_dev) * n_dev
+            if Np != N:
+                s = jnp.pad(s, ((0, 0), (0, Np - N)))
+                px = jnp.pad(px, ((0, 0), (0, Np - N)))
+                py = jnp.pad(py, ((0, 0), (0, Np - N)))
+                pinf = jnp.pad(pinf, (0, Np - N), constant_values=1)
+            return msm_dist.msm_dist(s, px, py, pinf, mesh)
 
     out = B.g1_msm(
         jnp.asarray(scalars_canonical), jnp.asarray(px), jnp.asarray(py),

@@ -63,11 +63,26 @@ def bintt(
     """Bivariate NTT of a coefficient/eval grid `[16, x_size, y_size]`.
 
     Equivalent to the reference `_biNTT`: transform along Y (rows batched over
-    X), then along X (batched over Y).  Both passes are local; the multi-chip
-    variant in `parallel/ntt_dist.py` inserts an all-to-all transpose between
-    the passes.
+    X), then along X (batched over Y).  Both passes are local; when a mesh
+    context is active (`parallel.context.use_mesh`) and the grid divides
+    evenly, the transform routes through `parallel/ntt_dist.py` (local Y
+    pass, ICI all-to-all transpose, local X pass) with the coset scalings
+    applied as elementwise (GSPMD-partitioned) multiplies outside the
+    shard_map.
     """
     L, x_size, y_size = grid.shape
+    mesh = _active_mesh(x_size, y_size)
+    if mesh is not None:
+        from ..parallel import ntt_dist
+
+        cx = coset_x if (coset_x is not None and coset_x % R_MOD != 1) else None
+        cy = coset_y if (coset_y is not None and coset_y % R_MOD != 1) else None
+        if not inverse:
+            grid = _coset_scale(grid, cx, cy, inverse=False)
+        grid = ntt_dist.bintt_dist(grid, mesh, inverse=inverse)
+        if inverse:
+            grid = _coset_scale(grid, cx, cy, inverse=True)
+        return grid
     if y_size > 1:
         grid = ntt_batched(grid, inverse=inverse, coset=coset_y)
     if x_size > 1:
@@ -75,3 +90,32 @@ def bintt(
         g = ntt_batched(g, inverse=inverse, coset=coset_x)
         grid = jnp.swapaxes(g, 1, 2)
     return grid
+
+
+def _active_mesh(x_size: int, y_size: int):
+    """The context mesh, if the grid can be row- and column-sharded on it."""
+    from ..parallel import context
+    from ..parallel.mesh import AXIS
+
+    mesh = context.get_mesh()
+    if mesh is None:
+        return None
+    n_dev = mesh.shape[AXIS]
+    if n_dev <= 1 or x_size % n_dev or y_size % n_dev:
+        return None
+    return mesh
+
+
+def _coset_scale(grid, coset_x, coset_y, inverse: bool):
+    """Elementwise coset pre/post-scaling of a [16, x, y] grid: forward
+    multiplies coeffs by c_x^i * c_y^j, inverse by the inverse powers —
+    identical to the per-pass scaling inside ntt_batched."""
+    L, x_size, y_size = grid.shape
+    flat = grid.reshape(L, -1)
+    if coset_y is not None:
+        cy = pow(coset_y, -1, R_MOD) if inverse else coset_y
+        flat = F.fr_mul(flat, jnp.asarray(F.fr_powers(cy, y_size)))
+    if coset_x is not None:
+        cx = pow(coset_x, -1, R_MOD) if inverse else coset_x
+        flat = F.fr_mul(flat, jnp.asarray(F.fr_powers(cx, x_size)), rep=y_size)
+    return flat.reshape(grid.shape)
