@@ -8,20 +8,29 @@ placements) with a constraint-satisfying synthetic fixture
 backend's published full-prove wall-clock of 45.698 s on CPU
 (BASELINE.md row 1; the CUDA number is 21.082 s).
 
-Prints ONE JSON line on stdout; diagnostics go to stderr.
+Prints ONE JSON line on stdout; diagnostics go to stderr.  When
+TOKAMAK_BENCH_SCALE is unset the bench runs an auto ladder: it tries the
+full shape in a subprocess under a time budget, and on timeout/crash falls
+back to mid, then small — so the driver's run always yields *some* number
+(VERDICT round-2 item 1c).  Per-op TPU throughput (2^22 MSM, 2^23 biNTT)
+is measured alongside and reported in the "detail" field (item 5).
 
 Environment knobs:
-  TOKAMAK_BENCH_SCALE=small|full   (default full; small = n=256,s_max=32 smoke)
-  TOKAMAK_BENCH_VERIFY=1           also verify the proof (not timed)
-  TOKAMAK_BENCH_PLATFORM=cpu|tpu   force the jax platform (the axon TPU plugin
-                                   overrides JAX_PLATFORMS, so plain env vars
-                                   do not work; this uses jax.config directly)
+  TOKAMAK_BENCH_SCALE=full|mid|small  skip the ladder, run one scale inline
+  TOKAMAK_BENCH_VERIFY=1              also verify the proof (not timed)
+  TOKAMAK_BENCH_BUDGET_S=N            per-rung subprocess budget (default 2400)
+  TOKAMAK_BENCH_PLATFORM=cpu|tpu      force the jax platform (the axon TPU
+                                      plugin overrides JAX_PLATFORMS, so plain
+                                      env vars do not work; this uses
+                                      jax.config directly)
+  TOKAMAK_BENCH_PEROP=0               skip the per-op probes
 """
 
 from __future__ import annotations
 
 import json
 import os
+import subprocess
 import sys
 import time
 
@@ -31,11 +40,95 @@ def log(*a):
 
 
 BASELINE_CPU_S = 45.698
+BASELINE_CUDA_S = 21.082
+
+SHAPES = {
+    "full": dict(n=4096, s_max=256, m_i=4096, n_synth_kinds=6, priv_per_synth=2700),
+    "mid": dict(n=1024, s_max=64, m_i=1024, n_synth_kinds=4, priv_per_synth=700),
+    "small": dict(n=256, s_max=32, m_i=256, n_synth_kinds=2, priv_per_synth=120),
+}
+
+
+def run_ladder():
+    """Try full -> mid -> small, each in a subprocess under a budget, and
+    relay the first JSON line that a rung produces."""
+    budget = float(os.environ.get("TOKAMAK_BENCH_BUDGET_S", "2400"))
+    for scale, rung_budget in (("full", budget), ("mid", budget * 0.5),
+                               ("small", budget * 0.35)):
+        log(f"[bench] ladder: trying scale={scale} (budget {rung_budget:.0f}s)")
+        env = dict(os.environ, TOKAMAK_BENCH_SCALE=scale)
+        t0 = time.time()
+        try:
+            p = subprocess.run([sys.executable, os.path.abspath(__file__)],
+                               stdout=subprocess.PIPE, timeout=rung_budget,
+                               env=env)
+        except subprocess.TimeoutExpired:
+            log(f"[bench] ladder: scale={scale} timed out after "
+                f"{time.time()-t0:.0f}s; falling back")
+            continue
+        except Exception as e:
+            log(f"[bench] ladder: scale={scale} failed: {e}; falling back")
+            continue
+        out = p.stdout.decode().strip().splitlines()
+        line = next((l for l in reversed(out) if l.startswith("{")), None)
+        if p.returncode == 0 and line:
+            print(line, flush=True)
+            return 0
+        log(f"[bench] ladder: scale={scale} rc={p.returncode}; falling back")
+    log("[bench] ladder: every rung failed")
+    return 1
+
+
+def measure_per_op():
+    """Per-op TPU throughput probes at the north-star sizes: one 2^22 MSM
+    (full pipeline incl. host combine) and one 2^23-point bivariate NTT
+    (4096 x 2048 grid), timed after a warm-up run so compile time is
+    excluded.  Inputs are random 16-bit limb arrays — the kernels are
+    data-oblivious, so throughput matches real CRS points."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+
+    from tokamak_zk_evm_tpu.ops import msm as msm_mod
+    from tokamak_zk_evm_tpu.ops import ntt as ntt_mod
+
+    detail = {}
+    rng = np.random.default_rng(5)
+    try:
+        n = 1 << 22
+        sc = jnp.asarray(rng.integers(0, 1 << 16, (16, n), dtype=np.uint32))
+        px = jnp.asarray(rng.integers(0, 1 << 16, (24, n), dtype=np.uint32))
+        py = jnp.asarray(rng.integers(0, 1 << 16, (24, n), dtype=np.uint32))
+        pinf = jnp.zeros((n,), jnp.uint32)
+        msm_mod.msm(sc, px, py, pinf)  # warm-up (compile)
+        t0 = time.time()
+        msm_mod.msm(sc, px, py, pinf)  # msm returns host ints: synchronous
+        detail["msm_2p22_s"] = round(time.time() - t0, 3)
+        log(f"[bench] per-op: 2^22 MSM = {detail['msm_2p22_s']}s")
+    except Exception as e:
+        log(f"[bench] per-op MSM probe failed: {e}")
+
+    try:
+        X, Y = 4096, 2048  # 2^23 points
+        a = jnp.asarray(rng.integers(0, 1 << 16, (16, X, Y), dtype=np.uint32))
+        r = ntt_mod.bintt(a)
+        jax.block_until_ready(r)
+        t0 = time.time()
+        r = ntt_mod.bintt(a)
+        jax.block_until_ready(r)
+        detail["bintt_2p23_s"] = round(time.time() - t0, 3)
+        log(f"[bench] per-op: 2^23 biNTT = {detail['bintt_2p23_s']}s")
+    except Exception as e:
+        log(f"[bench] per-op biNTT probe failed: {e}")
+    return detail
 
 
 def main():
+    scale = os.environ.get("TOKAMAK_BENCH_SCALE")
+    if scale is None:
+        raise SystemExit(run_ladder())
+
     t_start = time.time()
-    scale = os.environ.get("TOKAMAK_BENCH_SCALE", "full")
     _cache = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".cache", "jax")
     os.makedirs(_cache, exist_ok=True)
     os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", _cache)
@@ -59,12 +152,7 @@ def main():
     from tokamak_zk_evm_tpu.models.protocol import Mixer
     from tokamak_zk_evm_tpu.utils import timing
 
-    if scale == "full":
-        shape = dict(n=4096, s_max=256, m_i=4096, n_synth_kinds=6, priv_per_synth=2700)
-    elif scale == "mid":
-        shape = dict(n=1024, s_max=64, m_i=1024, n_synth_kinds=4, priv_per_synth=700)
-    else:
-        shape = dict(n=256, s_max=32, m_i=256, n_synth_kinds=2, priv_per_synth=120)
+    shape = SHAPES[scale]
 
     log(f"[bench] building synthetic fixture {shape} ...")
     t0 = time.time()
@@ -113,8 +201,8 @@ def main():
     prove_s = time.time() - t0
     log(f"[bench] prove took {prove_s:.3f}s (total script {time.time()-t_start:.0f}s)")
     summ = timing.summarize()
-    log(f"[bench] spans by_category: "
-        f"{json.dumps({k: round(v, 3) for k, v in summ['by_category'].items()})}")
+    by_cat = {k: round(v, 3) for k, v in summ["by_category"].items()}
+    log(f"[bench] spans by_category: {json.dumps(by_cat)}")
     log(f"[bench] spans by_name: "
         f"{json.dumps({k: round(v, 3) for k, v in summ['by_name'].items()})}")
 
@@ -129,11 +217,16 @@ def main():
         if not ok:
             raise SystemExit("proof did not verify")
 
+    detail = {"spans": by_cat}
+    if os.environ.get("TOKAMAK_BENCH_PEROP", "1") == "1" and scale != "small":
+        detail.update(measure_per_op())
+
     result = {
         "metric": f"prove_wall_clock_{scale}_shape_n{shape['n']}_smax{shape['s_max']}",
         "value": round(prove_s, 3),
         "unit": "s",
         "vs_baseline": round(BASELINE_CPU_S / prove_s, 3) if scale == "full" else 0.0,
+        "detail": detail,
     }
     print(json.dumps(result), flush=True)
 
