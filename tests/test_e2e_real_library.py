@@ -73,3 +73,79 @@ def test_prove_verify_real_library(fx):
     v2 = Verifier(fx.params, sigma, pre, fx.instance, bad,
                   rng=np.random.default_rng(7))
     assert not v2.verify_snark()
+
+
+# ---------------------------------------------------------------------------
+# Transaction-shaped fixture: exact WASM witnesses + cross-placement copy web
+# (VERDICT round 2 item 4; reference workload structure:
+#  backend-wasm/README.md:468 — 234 placements / 658k variables)
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def txfx():
+    from tokamak_zk_evm_tpu.testing.real_fixture import build_real_tx_fixture
+
+    return build_real_tx_fixture(s_max=16)
+
+
+def _cell_values(fx):
+    l = fx.params.l
+    vals = {}
+    for col, pl in enumerate(fx.placements):
+        info = fx.infos[pl.subcircuit_id]
+        o0, oc = info.Out_idx
+        i0, ic = info.In_idx
+        for lw in list(range(o0, o0 + oc)) + list(range(i0, i0 + ic)):
+            g = info.flattenMap[lw]
+            if g >= l:
+                vals[(g - l, col)] = pl.variables[lw]
+    return vals
+
+
+def test_tx_fixture_structure(txfx):
+    names = {txfx.infos[p.subcircuit_id].name for p in txfx.placements}
+    assert {"ALU1", "ALU2", "DecToBit", "Poseidon", "Accumulator"} <= names
+    assert len(txfx.placements) == 16
+    for p in txfx.placements:
+        assert check_r1cs_satisfaction(txfx.library[p.subcircuit_id],
+                                       p.variables)
+
+
+def test_tx_fixture_copy_web_consistent(txfx):
+    vals = _cell_values(txfx)
+    for e in txfx.permutation:
+        assert vals[(e.row, e.col)] == vals[(e.X, e.Y)], e
+
+
+def test_tx_fixture_permutation_is_cyclic(txfx):
+    # every cell maps to exactly one next cell and the web is a permutation
+    nxt = {(e.row, e.col): (e.X, e.Y) for e in txfx.permutation}
+    assert len(nxt) == len(txfx.permutation)
+    assert set(nxt.values()) == set(nxt.keys())
+
+
+@pytest.mark.slow
+def test_prove_verify_real_tx_shape():
+    """Full prove+verify at transaction shape: 64 placements over the real
+    library (ALU1/ALU2/DecToBit/Poseidon/Accumulator via the shipped WASM
+    calculators), s_max=64, n=4096 (VERDICT round-2 item 4 'Done =')."""
+    from tokamak_zk_evm_tpu.models.preprocess import preprocess
+    from tokamak_zk_evm_tpu.models.protocol import Mixer
+    from tokamak_zk_evm_tpu.models.prover import Prover
+    from tokamak_zk_evm_tpu.models.setup import Tau, generate_sigma
+    from tokamak_zk_evm_tpu.models.verifier import Verifier
+    from tokamak_zk_evm_tpu.testing.real_fixture import build_real_tx_fixture
+
+    fx = build_real_tx_fixture(s_max=64)
+    sigma = generate_sigma(fx.params, Tau.fixed(), fx.library, fx.infos)
+    pre = preprocess(sigma, fx.permutation, fx.instance, fx.params)
+    prover = Prover(
+        fx.params, sigma, fx.library, fx.infos, fx.placements,
+        fx.permutation, fx.instance,
+        mixer=Mixer.random(np.random.default_rng(5)),
+    )
+    proof, _ = prover.prove()
+    v = Verifier(fx.params, sigma, pre, fx.instance, proof,
+                 rng=np.random.default_rng(9))
+    assert v.verify_snark()
