@@ -1,0 +1,202 @@
+"""EVM-replay synthesizer tests: bytecode -> placements -> prove/verify.
+
+Replays a real ERC20-style transfer (mapping balances, keccak'd storage
+keys, overdraw guard) through frontend/synthesizer.py and checks the
+artifacts end-to-end — the TPU-framework counterpart of the reference's
+`synthesizeFromSnapshotInput` pipeline (`core/src/app/synthesize.ts:31`).
+"""
+
+import numpy as np
+import pytest
+
+from tokamak_zk_evm_tpu.host.keccak import keccak256
+from tokamak_zk_evm_tpu.testing.real_fixture import (
+    REFERENCE_LIBRARY, check_r1cs_satisfaction,
+)
+
+import os
+
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir(REFERENCE_LIBRARY), reason="reference library not present"
+)
+
+
+# ---------------------------------------------------------------------------
+# tiny assembler
+# ---------------------------------------------------------------------------
+
+_SIMPLE = {
+    "STOP": 0x00, "ADD": 0x01, "MUL": 0x02, "SUB": 0x03, "DIV": 0x04,
+    "MOD": 0x06, "LT": 0x10, "GT": 0x11, "EQ": 0x14, "ISZERO": 0x15,
+    "AND": 0x16, "OR": 0x17, "XOR": 0x18, "NOT": 0x19, "SHL": 0x1B,
+    "SHR": 0x1C, "KECCAK256": 0x20, "CALLER": 0x33, "CALLVALUE": 0x34,
+    "CALLDATALOAD": 0x35, "CALLDATASIZE": 0x36, "POP": 0x50,
+    "MLOAD": 0x51, "MSTORE": 0x52, "SLOAD": 0x54, "SSTORE": 0x55,
+    "JUMP": 0x56, "JUMPI": 0x57, "JUMPDEST": 0x5B, "PUSH0": 0x5F,
+    "RETURN": 0xF3, "REVERT": 0xFD, "TIMESTAMP": 0x42, "NUMBER": 0x43,
+}
+
+
+def asm(program):
+    """[(op,), ('PUSHn', value), ('PUSH@', label), ('label', name)] -> bytes.
+    Labels resolve in a second pass (PUSH2 slots)."""
+    code = bytearray()
+    labels, fixups = {}, []
+    for ins in program:
+        op = ins[0]
+        if op == "label":
+            labels[ins[1]] = len(code)
+        elif op == "PUSH@":
+            code.append(0x61)  # PUSH2
+            fixups.append((len(code), ins[1]))
+            code += b"\x00\x00"
+        elif op.startswith("PUSH") and op not in ("PUSH0",):
+            k = int(op[4:])
+            code.append(0x5F + k)
+            code += int(ins[1]).to_bytes(k, "big")
+        elif op.startswith("DUP"):
+            code.append(0x7F + int(op[3:]))
+        elif op.startswith("SWAP"):
+            code.append(0x8F + int(op[4:]))
+        else:
+            code.append(_SIMPLE[op])
+    for pos, lab in fixups:
+        code[pos:pos + 2] = labels[lab].to_bytes(2, "big")
+    return bytes(code)
+
+
+# ERC20 transfer(to, amount): balances mapping at slot 0, keys
+# keccak256(addr || slot).  Reverts on overdraw, returns 1 on success.
+TRANSFER = [
+    ("PUSH1", 4), ("CALLDATALOAD",),            # [to]
+    ("PUSH1", 36), ("CALLDATALOAD",),           # [to amt]
+    ("CALLER",), ("PUSH0",), ("MSTORE",),       # mem[0]=caller
+    ("PUSH0",), ("PUSH1", 32), ("MSTORE",),     # mem[32]=0 (slot)
+    ("PUSH1", 64), ("PUSH0",), ("KECCAK256",),  # [to amt keyS]
+    ("DUP1",), ("SLOAD",),                      # [to amt keyS balS]
+    ("DUP1",), ("DUP4",), ("GT",),              # [to amt keyS balS amt>balS]
+    ("PUSH@", "rev"), ("JUMPI",),
+    ("DUP3",), ("SWAP1",), ("SUB",),            # [to amt keyS balS-amt]
+    ("SWAP1",), ("SSTORE",),                    # [to amt]
+    ("DUP2",), ("PUSH0",), ("MSTORE",),         # mem[0]=to
+    ("PUSH1", 64), ("PUSH0",), ("KECCAK256",),  # [to amt keyR]
+    ("DUP1",), ("SLOAD",),                      # [to amt keyR balR]
+    ("DUP3",), ("ADD",),                        # [to amt keyR balR+amt]
+    ("SWAP1",), ("SSTORE",),                    # [to amt]
+    ("PUSH1", 1), ("PUSH0",), ("MSTORE",),
+    ("PUSH1", 32), ("PUSH0",), ("RETURN",),
+    ("label", "rev"), ("JUMPDEST",),
+    ("PUSH0",), ("PUSH0",), ("REVERT",),
+]
+
+SENDER = 0xA11CE00000000000000000000000000000000001
+RECIPIENT = 0xB0B0000000000000000000000000000000000002
+CONTRACT = 0xC0FFEE0000000000000000000000000000000003
+
+
+def _slot_key(addr: int, slot: int) -> int:
+    return int.from_bytes(
+        keccak256(addr.to_bytes(32, "big") + slot.to_bytes(32, "big")), "big"
+    )
+
+
+def _transfer_calldata(to: int, amount: int) -> bytes:
+    return (b"\xa9\x05\x9c\xbb" + to.to_bytes(32, "big")
+            + amount.to_bytes(32, "big"))
+
+
+@pytest.fixture(scope="module")
+def synthesis():
+    from tokamak_zk_evm_tpu.frontend.synthesizer import Synthesizer, TxEnv
+
+    code = asm(TRANSFER)
+    key_s, key_r = _slot_key(SENDER, 0), _slot_key(RECIPIENT, 0)
+    storage = {key_s: 1000, key_r: 7}
+    env = TxEnv(caller=SENDER, address=CONTRACT,
+                calldata=_transfer_calldata(RECIPIENT, 250))
+    syn = Synthesizer(REFERENCE_LIBRARY, s_max=16)
+    res = syn.run(code, env, storage)
+    return res, key_s, key_r
+
+
+def test_transfer_replay_semantics(synthesis):
+    res, key_s, key_r = synthesis
+    assert not res.reverted
+    assert int.from_bytes(res.returndata, "big") == 1
+    assert res.storage_writes[(CONTRACT, key_s)] == 750
+    assert res.storage_writes[(CONTRACT, key_r)] == 257
+
+
+def test_transfer_placements_satisfy_r1cs(synthesis):
+    res, _, _ = synthesis
+    names = [res.infos[p.subcircuit_id].name for p in res.placements]
+    assert "ALU1" in names  # GT, SUB, ADD
+    assert "bufferEVMIn" in names and "bufferPrvIn" in names
+    for p in res.placements:
+        assert check_r1cs_satisfaction(res.library[p.subcircuit_id],
+                                       p.variables)
+
+
+def test_transfer_copy_web_consistent(synthesis):
+    res, _, _ = synthesis
+    l = res.params.l
+    vals = {}
+    for col, pl in enumerate(res.placements):
+        info = res.infos[pl.subcircuit_id]
+        o0, oc = info.Out_idx
+        i0, ic = info.In_idx
+        for lw in list(range(o0, o0 + oc)) + list(range(i0, i0 + ic)):
+            g = info.flattenMap[lw]
+            if g >= l:
+                vals[(g - l, col)] = pl.variables[lw]
+    assert res.permutation, "transfer must produce copy constraints"
+    for e in res.permutation:
+        assert vals[(e.row, e.col)] == vals[(e.X, e.Y)]
+
+
+def test_overdraw_reverts(synthesis):
+    from tokamak_zk_evm_tpu.frontend.synthesizer import Synthesizer, TxEnv
+
+    code = asm(TRANSFER)
+    key_s = _slot_key(SENDER, 0)
+    env = TxEnv(caller=SENDER, address=CONTRACT,
+                calldata=_transfer_calldata(RECIPIENT, 5000))
+    res = Synthesizer(REFERENCE_LIBRARY, s_max=16).run(
+        code, env, {key_s: 1000})
+    assert res.reverted
+    assert res.storage_writes == {}
+
+
+def test_public_instance_surfaces_new_balances(synthesis):
+    res, _, _ = synthesis
+    # storage writes surface (lo, hi) limb pairs in a_pub_user
+    assert res.instance.a_pub_user[0] == 750
+    assert res.instance.a_pub_user[2] == 257
+    # calldata words entered through the public function instance
+    f = res.instance.a_pub_function
+    L128 = (1 << 128) - 1
+    assert (RECIPIENT & L128) in f and (250 & L128) in f
+
+
+@pytest.mark.slow
+def test_prove_verify_synthesized_transfer(synthesis):
+    """The full pipeline the reference ships: EVM replay -> placements ->
+    prove -> verify (setup on the real library shapes, s_max=16)."""
+    from tokamak_zk_evm_tpu.models.preprocess import preprocess
+    from tokamak_zk_evm_tpu.models.protocol import Mixer
+    from tokamak_zk_evm_tpu.models.prover import Prover
+    from tokamak_zk_evm_tpu.models.setup import Tau, generate_sigma
+    from tokamak_zk_evm_tpu.models.verifier import Verifier
+
+    res, _, _ = synthesis
+    sigma = generate_sigma(res.params, Tau.fixed(), res.library, res.infos)
+    pre = preprocess(sigma, res.permutation, res.instance, res.params)
+    prover = Prover(
+        res.params, sigma, res.library, res.infos, res.placements,
+        res.permutation, res.instance,
+        mixer=Mixer.random(np.random.default_rng(13)),
+    )
+    proof, _ = prover.prove()
+    v = Verifier(res.params, sigma, pre, res.instance, proof,
+                 rng=np.random.default_rng(21))
+    assert v.verify_snark()

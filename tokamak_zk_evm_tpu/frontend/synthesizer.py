@@ -1,0 +1,645 @@
+"""EVM-replay synthesizer: bytecode -> placements / permutation / instance.
+
+The reference's frontend synthesizer replays a transaction on a symbolic EVM
+and, for every traced operation, places a subcircuit instance whose operand
+wires are copy-constrained to their producers
+(`packages/frontend/synthesizer/core/src/app/synthesize.ts:31`,
+`synthesizer/handlers/instructionHandler.ts`,
+`synthesizer/handlers/arithmeticManager.ts:167-227`).  This module is the
+TPU-framework equivalent: a concrete-value EVM interpreter with a symbolic
+provenance layer (DataPt), emitting exactly the artifacts the prover
+consumes (models/protocol.py Placement / PermutationEntry / Instance).
+
+Conventions shared with the reference:
+  * every 256-bit EVM word is two 128-bit limb wires (lo, hi) — all 14
+    shipped subcircuits use that bus encoding
+    (`qap-compiler/subcircuits/circom/ALU1_circuit.circom`);
+  * opcode -> (subcircuit, selector) follows SUBCIRCUIT_ALU_MAPPING
+    (`core/src/subcircuit/configuredTypes.ts:124-170`) exactly;
+  * words enter the circuit only through buffers: calldata/environment via
+    bufferEVMIn (public function instance), block context via bufferBlockIn,
+    storage reads and non-provable hints via bufferPrvIn (private);
+  * operand handoff is a copy-constraint cycle per producer wire on the
+    interface grid, like the reference's placement web.
+
+Documented simplifications (each vs the reference's full pipeline):
+  * ALU selectors are free private wires of the ALU placement instead of
+    routed through a static buffer (`arithmeticManager.ts:189`);
+  * KECCAK256 runs natively for EVM semantics and its result re-enters via
+    bufferPrvIn; the reference additionally binds the preimage with Poseidon
+    placements (`instructionHandler.ts:604-616`);
+  * storage is a flat snapshot dict; no Poseidon-IMT Merkle placement per
+    SLOAD/SSTORE (`instructionHandler.ts:482-586`), and no EdDSA signature
+    placement — those subcircuits are exercised by the fixture layer;
+  * unaligned memory provenance degrades to a private re-ingestion instead
+    of shift/mask subcircuit chains (`dataStructure/memoryPt.ts`).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass, field
+
+from ..fields import R_MOD
+from ..host.keccak import keccak256
+from ..io.artifacts import load_library
+from ..models.protocol import Instance, PermutationEntry, Placement
+
+M256 = 1 << 256
+L128 = (1 << 128) - 1
+
+# opcode byte -> (mnemonic, n_pops, has_alu_placement)
+# ALU mapping mirrors SUBCIRCUIT_ALU_MAPPING (configuredTypes.ts:124-170)
+ALU_MAP = {
+    "ADD": ("ALU1", 1), "MUL": ("ALU1", 2), "SUB": ("ALU1", 3),
+    "DIV": ("ALU2", 4), "SDIV": ("ALU2", 5), "MOD": ("ALU2", 6),
+    "SMOD": ("ALU2", 7), "ADDMOD": ("ALU2", 8), "MULMOD": ("ALU2", 9),
+    "SIGNEXTEND": ("ALU2", 11),
+    "LT": ("ALU1", 16), "GT": ("ALU1", 17), "SLT": ("ALU1", 18),
+    "SGT": ("ALU1", 19), "EQ": ("ALU1", 20), "ISZERO": ("ALU1", 21),
+    "AND": ("ALU1", 22), "OR": ("ALU1", 23), "XOR": ("ALU1", 24),
+    "NOT": ("ALU1", 25),
+    "BYTE": ("ALU2", 26), "SHL": ("ALU2", 27), "SHR": ("ALU2", 28),
+    "SAR": ("ALU2", 29),
+}
+
+_BIN_OPS = {
+    "ADD", "MUL", "SUB", "DIV", "SDIV", "MOD", "SMOD", "SIGNEXTEND",
+    "LT", "GT", "SLT", "SGT", "EQ", "AND", "OR", "XOR", "BYTE", "SHL",
+    "SHR", "SAR",
+}
+_UN_OPS = {"ISZERO", "NOT"}
+_TERN_OPS = {"ADDMOD", "MULMOD"}
+
+OPCODES = {
+    0x00: "STOP", 0x01: "ADD", 0x02: "MUL", 0x03: "SUB", 0x04: "DIV",
+    0x05: "SDIV", 0x06: "MOD", 0x07: "SMOD", 0x08: "ADDMOD",
+    0x09: "MULMOD", 0x0A: "EXP", 0x0B: "SIGNEXTEND",
+    0x10: "LT", 0x11: "GT", 0x12: "SLT", 0x13: "SGT", 0x14: "EQ",
+    0x15: "ISZERO", 0x16: "AND", 0x17: "OR", 0x18: "XOR", 0x19: "NOT",
+    0x1A: "BYTE", 0x1B: "SHL", 0x1C: "SHR", 0x1D: "SAR",
+    0x20: "KECCAK256",
+    0x30: "ADDRESS", 0x33: "CALLER", 0x34: "CALLVALUE",
+    0x35: "CALLDATALOAD", 0x36: "CALLDATASIZE", 0x37: "CALLDATACOPY",
+    0x38: "CODESIZE",
+    0x41: "COINBASE", 0x42: "TIMESTAMP", 0x43: "NUMBER",
+    0x45: "GASLIMIT", 0x46: "CHAINID", 0x48: "BASEFEE",
+    0x50: "POP", 0x51: "MLOAD", 0x52: "MSTORE", 0x53: "MSTORE8",
+    0x54: "SLOAD", 0x55: "SSTORE", 0x56: "JUMP", 0x57: "JUMPI",
+    0x58: "PC", 0x59: "MSIZE", 0x5A: "GAS", 0x5B: "JUMPDEST",
+    0x5F: "PUSH0",
+    0xF3: "RETURN", 0xFD: "REVERT",
+}
+for _i in range(1, 33):
+    OPCODES[0x5F + _i] = f"PUSH{_i}"
+for _i in range(1, 17):
+    OPCODES[0x7F + _i] = f"DUP{_i}"
+    OPCODES[0x8F + _i] = f"SWAP{_i}"
+for _i in range(5):
+    OPCODES[0xA0 + _i] = f"LOG{_i}"
+
+
+def _sgn(x: int) -> int:
+    return x - M256 if x >> 255 else x
+
+
+def _evm_alu(name: str, args: list[int]) -> int:
+    """Concrete EVM semantics (yellow-paper); the circuit recomputes these
+    inside ALU1/ALU2, this is the interpreter's value path."""
+    a = args[0]
+    b = args[1] if len(args) > 1 else 0
+    c = args[2] if len(args) > 2 else 0
+    if name == "ADD":
+        return (a + b) % M256
+    if name == "MUL":
+        return (a * b) % M256
+    if name == "SUB":
+        return (a - b) % M256
+    if name == "DIV":
+        return a // b if b else 0
+    if name == "SDIV":
+        if b == 0:
+            return 0
+        sa, sb = _sgn(a), _sgn(b)
+        q = abs(sa) // abs(sb)
+        return (-q if (sa < 0) != (sb < 0) else q) % M256
+    if name == "MOD":
+        return a % b if b else 0
+    if name == "SMOD":
+        if b == 0:
+            return 0
+        sa, sb = _sgn(a), _sgn(b)
+        r = abs(sa) % abs(sb)
+        return (-r if sa < 0 else r) % M256
+    if name == "ADDMOD":
+        return (a + b) % c if c else 0
+    if name == "MULMOD":
+        return (a * b) % c if c else 0
+    if name == "SIGNEXTEND":
+        if a >= 32:
+            return b
+        bit = 8 * a + 7
+        if (b >> bit) & 1:
+            return (b | (M256 - (1 << bit + 1))) % M256
+        return b & ((1 << bit + 1) - 1)
+    if name == "LT":
+        return int(a < b)
+    if name == "GT":
+        return int(a > b)
+    if name == "SLT":
+        return int(_sgn(a) < _sgn(b))
+    if name == "SGT":
+        return int(_sgn(a) > _sgn(b))
+    if name == "EQ":
+        return int(a == b)
+    if name == "ISZERO":
+        return int(a == 0)
+    if name == "AND":
+        return a & b
+    if name == "OR":
+        return a | b
+    if name == "XOR":
+        return a ^ b
+    if name == "NOT":
+        return (~a) % M256
+    if name == "BYTE":
+        return (b >> (8 * (31 - a))) & 0xFF if a < 32 else 0
+    if name == "SHL":
+        return (b << a) % M256 if a < 256 else 0
+    if name == "SHR":
+        return b >> a if a < 256 else 0
+    if name == "SAR":
+        sb_ = _sgn(b)
+        if a >= 256:
+            return (M256 - 1) if sb_ < 0 else 0
+        return (sb_ >> a) % M256
+    raise NotImplementedError(name)
+
+
+@dataclass
+class DataPt:
+    """A 256-bit word with circuit provenance: the interface-grid cells of
+    its (lo, hi) limb producer wires, or None for untraced constants
+    (`synthesizer/dataStructure/dataPt.ts`)."""
+    value: int
+    src: tuple[tuple[int, int], tuple[int, int]] | None = None
+
+    @property
+    def lo(self):
+        return self.value & L128
+
+    @property
+    def hi(self):
+        return self.value >> 128
+
+
+@dataclass
+class TxEnv:
+    """Transaction + block context (SynthesisInput's transaction/blockInfo,
+    `core/src/app/types.ts`)."""
+    caller: int
+    address: int
+    callvalue: int = 0
+    calldata: bytes = b""
+    timestamp: int = 1_700_000_000
+    number: int = 1
+    gaslimit: int = 30_000_000
+    chainid: int = 1
+    coinbase: int = 0
+    basefee: int = 0
+
+
+class SynthesisError(RuntimeError):
+    pass
+
+
+class OutOfPlacements(SynthesisError):
+    pass
+
+
+@dataclass
+class SynthesisResult:
+    params: object
+    library: list
+    infos: list
+    placements: list[Placement]
+    permutation: list[PermutationEntry]
+    instance: Instance
+    returndata: bytes
+    reverted: bool
+    storage_writes: dict[tuple[int, int], int]
+    step_log: list[str] = field(default_factory=list)
+
+
+class Synthesizer:
+    """Replays one call frame and synthesizes the circuit artifacts.
+
+    Usage:
+        syn = Synthesizer(library_dir, s_max=128)
+        result = syn.run(code, env, storage)
+    """
+
+    def __init__(self, library_dir: str, s_max: int = 128):
+        from .witness_calculator import SubcircuitCalculators
+
+        self.params, self.infos, self.library = load_library(library_dir)
+        assert s_max >= 8 and (s_max & (s_max - 1)) == 0
+        self.params = dataclasses.replace(self.params, s_max=s_max)
+        self.s_max = s_max
+        self.calcs = SubcircuitCalculators(library_dir)
+        self.by_name = {i.name: i for i in self.infos}
+        self.l = self.params.l
+
+        self.placements: list[Placement] = []
+        # copy web: producer cell -> growable cycle (list of cells)
+        self._cycles: dict[tuple[int, int], list] = {}
+        self.step_log: list[str] = []
+
+        # buffer fill state: list of DataPt-producing slots consumed so far
+        self._evm_in_vals: list[int] = []   # bufferEVMIn ins (public function)
+        self._prv_in_vals: list[int] = []   # bufferPrvIn ins (private)
+        self._block_vals: list[int] = []    # bufferBlockIn ins
+        self._pub_out_pts: list[DataPt] = []  # words returned publicly
+        self._evm_in_col: int | None = None
+        self._prv_in_col: int | None = None
+        self._block_col: int | None = None
+
+    # ---- placement plumbing -------------------------------------------
+
+    def _cell(self, info, local_wire: int, col: int) -> tuple[int, int]:
+        row = info.flattenMap[local_wire] - self.l
+        assert 0 <= row < self.params.l_D - self.l, (info.name, local_wire)
+        return (row, col)
+
+    def _new_col(self) -> int:
+        if len(self.placements) >= self.s_max:
+            raise OutOfPlacements(
+                f"placement budget s_max={self.s_max} exhausted"
+            )
+        return len(self.placements)
+
+    def _link(self, producer: tuple[int, int], consumer: tuple[int, int]):
+        self._cycles.setdefault(producer, [producer]).append(consumer)
+
+    def _consume(self, pt: DataPt, lo_cell, hi_cell):
+        """Copy-constrain an operand's limbs to their producer (if traced)."""
+        if pt.src is not None:
+            self._link(pt.src[0], lo_cell)
+            self._link(pt.src[1], hi_cell)
+
+    # ---- buffers --------------------------------------------------------
+
+    def _buffer_reserve(self, which: str, nslots: int) -> tuple[int, int]:
+        """Reserve `nslots` consecutive limb slots in a buffer; returns
+        (placement col, first slot index).  Buffer placements are finalized
+        (witnessed) at the end of the run, once all slots are known."""
+        if which == "evm":
+            info = self.by_name["bufferEVMIn"]
+            if self._evm_in_col is None:
+                self._evm_in_col = self._new_col()
+                self.placements.append(None)  # reserved; finalized later
+            vals, col = self._evm_in_vals, self._evm_in_col
+        elif which == "prv":
+            info = self.by_name["bufferPrvIn"]
+            if self._prv_in_col is None:
+                self._prv_in_col = self._new_col()
+                self.placements.append(None)
+            vals, col = self._prv_in_vals, self._prv_in_col
+        elif which == "block":
+            info = self.by_name["bufferBlockIn"]
+            if self._block_col is None:
+                self._block_col = self._new_col()
+                self.placements.append(None)
+            vals, col = self._block_vals, self._block_col
+        else:
+            raise ValueError(which)
+        if len(vals) + nslots > info.In_idx[1]:
+            raise SynthesisError(f"buffer {which} capacity exceeded")
+        return col, len(vals)
+
+    def _load_word(self, which: str, value: int, note: str = "") -> DataPt:
+        """Ingest a 256-bit word through a buffer: 2 limb slots; the DataPt's
+        producers are the buffer's OUT wires (out_j == in_j per
+        buffers.circom)."""
+        value %= M256
+        info = self.by_name[{"evm": "bufferEVMIn", "prv": "bufferPrvIn",
+                             "block": "bufferBlockIn"}[which]]
+        col, slot = self._buffer_reserve(which, 2)
+        vals = {"evm": self._evm_in_vals, "prv": self._prv_in_vals,
+                "block": self._block_vals}[which]
+        vals.extend([value & L128, value >> 128])
+        o0 = info.Out_idx[0]
+        pt = DataPt(value, (self._cell(info, o0 + slot, col),
+                            self._cell(info, o0 + slot + 1, col)))
+        if note:
+            self.step_log.append(f"load[{which}] {note} = {value:#x}")
+        return pt
+
+    # ---- ALU placements -------------------------------------------------
+
+    def _place_alu(self, name: str, args: list[DataPt]) -> DataPt:
+        sub, sel_bit = ALU_MAP[name]
+        info = self.by_name[sub]
+        ic = info.In_idx[1]
+        ins = [1 << sel_bit]
+        for a in args:
+            ins += [a.lo, a.hi]
+        ins += [0] * (ic - len(ins))
+        w = self.calcs.witness(info.id, ins)
+        col = self._new_col()
+        self.placements.append(Placement(subcircuit_id=info.id, variables=w))
+        # operand limb wires: locals in0+1.. (in0 is the selector)
+        i0 = info.In_idx[0]
+        for j, a in enumerate(args):
+            self._consume(a, self._cell(info, i0 + 1 + 2 * j, col),
+                          self._cell(info, i0 + 2 + 2 * j, col))
+        o0 = info.Out_idx[0]
+        out_val = (w[o0] | (w[o0 + 1] << 128)) % M256
+        want = _evm_alu(name, [a.value for a in args])
+        if out_val != want:
+            raise SynthesisError(
+                f"{name}: circuit output {out_val:#x} != EVM {want:#x}"
+            )
+        self.step_log.append(f"place {sub}[{name}] -> {out_val:#x}")
+        return DataPt(out_val, (self._cell(info, o0, col),
+                                self._cell(info, o0 + 1, col)))
+
+    # ---- main loop ------------------------------------------------------
+
+    def run(self, code: bytes, env: TxEnv, storage: dict[int, int],
+            max_steps: int = 100_000) -> SynthesisResult:
+        stack: list[DataPt] = []
+        mem = bytearray()
+        # provenance of 32-byte-aligned memory words: offset -> DataPt
+        memsrc: dict[int, DataPt] = {}
+        storage = dict(storage)
+        storage_writes: dict[tuple[int, int], int] = {}
+        returndata = b""
+        reverted = False
+
+        def mem_extend(end):
+            if end > len(mem):
+                mem.extend(b"\x00" * (-(-end // 32) * 32 - len(mem)))
+
+        def push(pt: DataPt):
+            if len(stack) >= 1024:
+                raise SynthesisError("stack overflow")
+            stack.append(pt)
+
+        def pop() -> DataPt:
+            if not stack:
+                raise SynthesisError("stack underflow")
+            return stack.pop()
+
+        def calldata_word(off: int) -> int:
+            d = env.calldata[off:off + 32]
+            return int.from_bytes(d + b"\x00" * (32 - len(d)), "big")
+
+        pc = 0
+        steps = 0
+        while pc < len(code):
+            steps += 1
+            if steps > max_steps:
+                raise SynthesisError("step budget exceeded")
+            op = code[pc]
+            name = OPCODES.get(op)
+            if name is None:
+                raise SynthesisError(f"invalid opcode {op:#x} at pc={pc}")
+            pc += 1
+
+            if name.startswith("PUSH"):
+                k = 0 if name == "PUSH0" else int(name[4:])
+                val = int.from_bytes(code[pc:pc + k], "big") if k else 0
+                pc += k
+                push(DataPt(val))  # in-code constant: no provenance needed
+            elif name.startswith("DUP"):
+                k = int(name[3:])
+                if len(stack) < k:
+                    raise SynthesisError("stack underflow")
+                push(stack[-k])
+            elif name.startswith("SWAP"):
+                k = int(name[4:])
+                if len(stack) < k + 1:
+                    raise SynthesisError("stack underflow")
+                stack[-1], stack[-k - 1] = stack[-k - 1], stack[-1]
+            elif name in _BIN_OPS:
+                a, b = pop(), pop()
+                push(self._place_alu(name, [a, b]))
+            elif name in _UN_OPS:
+                push(self._place_alu(name, [pop()]))
+            elif name in _TERN_OPS:
+                a, b, c = pop(), pop(), pop()
+                push(self._place_alu(name, [a, b, c]))
+            elif name == "EXP":
+                # constant-exponent EXP unrolls to a square-and-multiply MUL
+                # chain of placements (the reference batches these through
+                # SubExpBatch, `arithmeticManager.ts:297`)
+                base, exp = pop(), pop()
+                e = exp.value
+                if e > 1 << 16:
+                    raise SynthesisError("EXP exponent too large to unroll")
+                acc = DataPt(1)
+                cur = base
+                while e:
+                    if e & 1:
+                        acc = (self._place_alu("MUL", [acc, cur])
+                               if acc.src or acc.value != 1 else cur)
+                    e >>= 1
+                    if e:
+                        cur = self._place_alu("MUL", [cur, cur])
+                push(acc)
+            elif name == "KECCAK256":
+                off_pt, len_pt = pop(), pop()
+                off, ln = off_pt.value, len_pt.value
+                mem_extend(off + ln)
+                h = int.from_bytes(keccak256(bytes(mem[off:off + ln])), "big")
+                push(self._load_word("prv", h, "keccak256"))
+            elif name == "CALLER":
+                push(self._load_word("evm", env.caller, "CALLER"))
+            elif name == "ADDRESS":
+                push(self._load_word("evm", env.address, "ADDRESS"))
+            elif name == "CALLVALUE":
+                push(self._load_word("evm", env.callvalue, "CALLVALUE"))
+            elif name == "CALLDATASIZE":
+                push(self._load_word("evm", len(env.calldata), "CALLDATASIZE"))
+            elif name == "CALLDATALOAD":
+                off = pop().value
+                push(self._load_word("evm", calldata_word(off),
+                                     f"CALLDATALOAD[{off}]"))
+            elif name == "CALLDATACOPY":
+                doff, soff, ln = pop().value, pop().value, pop().value
+                mem_extend(doff + ln)
+                chunk = env.calldata[soff:soff + ln]
+                chunk += b"\x00" * (ln - len(chunk))
+                mem[doff:doff + ln] = chunk
+                for w0 in range(doff - doff % 32, doff + ln, 32):
+                    memsrc.pop(w0, None)  # conservatively drop provenance
+            elif name == "CODESIZE":
+                push(DataPt(len(code)))
+            elif name in ("TIMESTAMP", "NUMBER", "GASLIMIT", "CHAINID",
+                          "COINBASE", "BASEFEE"):
+                v = {"TIMESTAMP": env.timestamp, "NUMBER": env.number,
+                     "GASLIMIT": env.gaslimit, "CHAINID": env.chainid,
+                     "COINBASE": env.coinbase, "BASEFEE": env.basefee}[name]
+                push(self._load_word("block", v, name))
+            elif name == "POP":
+                pop()
+            elif name == "MLOAD":
+                off = pop().value
+                mem_extend(off + 32)
+                val = int.from_bytes(mem[off:off + 32], "big")
+                src = memsrc.get(off)
+                if src is not None and src.value == val:
+                    push(src)  # aligned single-writer word: keep provenance
+                else:
+                    push(self._load_word("prv", val, f"MLOAD[{off}]"))
+            elif name == "MSTORE":
+                off_pt, val_pt = pop(), pop()
+                off = off_pt.value
+                mem_extend(off + 32)
+                mem[off:off + 32] = val_pt.value.to_bytes(32, "big")
+                memsrc[off] = val_pt
+                for w0 in range(off - off % 32, off + 32, 32):
+                    if w0 != off:
+                        memsrc.pop(w0, None)
+            elif name == "MSTORE8":
+                off_pt, val_pt = pop(), pop()
+                off = off_pt.value
+                mem_extend(off + 1)
+                mem[off] = val_pt.value & 0xFF
+                memsrc.pop(off - off % 32, None)
+            elif name == "MSIZE":
+                push(DataPt(len(mem)))
+            elif name in ("PC",):
+                push(DataPt(pc - 1))
+            elif name == "GAS":
+                push(DataPt(10**9))
+            elif name == "SLOAD":
+                key = pop().value
+                push(self._load_word("prv", storage.get(key, 0),
+                                     f"SLOAD[{key:#x}]"))
+            elif name == "SSTORE":
+                key_pt, val_pt = pop(), pop()
+                storage[key_pt.value] = val_pt.value
+                storage_writes[(env.address, key_pt.value)] = val_pt.value
+                # a stored word is an output of the proven computation:
+                # surface it (and its provenance) in the public output buffer
+                self._pub_out_pts.append(val_pt)
+                self.step_log.append(
+                    f"SSTORE[{key_pt.value:#x}] = {val_pt.value:#x}"
+                )
+            elif name == "JUMP":
+                dest = pop().value
+                if dest >= len(code) or code[dest] != 0x5B:
+                    raise SynthesisError(f"bad jump dest {dest}")
+                pc = dest
+            elif name == "JUMPI":
+                dest_pt, cond = pop(), pop()
+                if cond.value:
+                    dest = dest_pt.value
+                    if dest >= len(code) or code[dest] != 0x5B:
+                        raise SynthesisError(f"bad jump dest {dest}")
+                    pc = dest
+            elif name == "JUMPDEST":
+                pass
+            elif name.startswith("LOG"):
+                ntopics = int(name[3:])
+                off, ln = pop().value, pop().value
+                for _ in range(ntopics):
+                    pop()
+                mem_extend(off + ln)
+            elif name == "STOP":
+                break
+            elif name in ("RETURN", "REVERT"):
+                off, ln = pop().value, pop().value
+                mem_extend(off + ln)
+                returndata = bytes(mem[off:off + ln])
+                reverted = name == "REVERT"
+                break
+            else:
+                raise SynthesisError(f"unhandled opcode {name}")
+
+        return self._finalize(storage_writes, returndata, reverted)
+
+    # ---- artifact assembly ---------------------------------------------
+
+    def _finalize(self, storage_writes, returndata, reverted):
+        pub_out_i = self.by_name["bufferPubOut"]
+        pub_in_i = self.by_name["bufferPubIn"]
+        block_i = self.by_name["bufferBlockIn"]
+        evm_i = self.by_name["bufferEVMIn"]
+        prv_i = self.by_name["bufferPrvIn"]
+
+        from ..testing.real_fixture import (
+            _buffer_placement, check_r1cs_satisfaction,
+        )
+
+        # finalize reserved input buffers in place
+        def fin(col, info, vals):
+            if col is None:
+                return
+            io = vals + [0] * (info.In_idx[1] - len(vals))
+            self.placements[col] = _buffer_placement(info, io)
+
+        fin(self._evm_in_col, evm_i, self._evm_in_vals)
+        fin(self._prv_in_col, prv_i, self._prv_in_vals)
+        fin(self._block_col, block_i, self._block_vals)
+
+        # bufferPubOut carries the limbs of publicly-surfaced words
+        # (storage writes), each in-wire copy-constrained to its producer
+        out_slots = pub_out_i.Out_idx[1]
+        out_vals = []
+        links = []
+        for pt in self._pub_out_pts:
+            if len(out_vals) + 2 > out_slots:
+                break  # overflowed public outputs stay private
+            if pt.src is not None:
+                links.append((pt.src, len(out_vals)))
+            out_vals.extend([pt.lo, pt.hi])
+        out_vals += [0] * (out_slots - len(out_vals))
+        pub_out_col = self._new_col()
+        self.placements.append(_buffer_placement(pub_out_i, out_vals))
+        for (src_lo, src_hi), slot in links:
+            i0 = pub_out_i.In_idx[0]
+            self._link(src_lo, self._cell(pub_out_i, i0 + slot, pub_out_col))
+            self._link(src_hi,
+                       self._cell(pub_out_i, i0 + slot + 1, pub_out_col))
+
+        # bufferPubIn is the L2 state-channel interface; unused by a plain
+        # contract call — placed as zeros for shape parity
+        pub_in_col = self._new_col()
+        self.placements.append(
+            _buffer_placement(pub_in_i, [0] * pub_in_i.In_idx[1])
+        )
+
+        for pl in self.placements:
+            assert pl is not None
+            assert check_r1cs_satisfaction(self.library[pl.subcircuit_id],
+                                           pl.variables)
+
+        permutation = []
+        for cyc in self._cycles.values():
+            for t, (row, col) in enumerate(cyc):
+                nr, nc = cyc[(t + 1) % len(cyc)]
+                permutation.append(
+                    PermutationEntry(row=row, col=col, X=nr, Y=nc)
+                )
+
+        p = self.params
+        evm_full = self._evm_in_vals + [0] * (
+            evm_i.In_idx[1] - len(self._evm_in_vals))
+        blk_full = self._block_vals + [0] * (
+            block_i.In_idx[1] - len(self._block_vals))
+        m_block = p.l_free - p.l_user
+        instance = Instance(
+            a_pub_user=out_vals[:p.l_user_out] + [0] * (
+                p.l_user - p.l_user_out),
+            a_pub_block=(blk_full + [0] * m_block)[:m_block],
+            a_pub_function=evm_full[:p.l - p.l_free],
+        )
+        return SynthesisResult(
+            params=p, library=self.library, infos=self.infos,
+            placements=self.placements, permutation=permutation,
+            instance=instance, returndata=returndata, reverted=reverted,
+            storage_writes=storage_writes, step_log=self.step_log,
+        )
