@@ -50,12 +50,25 @@ SHAPES = {
 
 
 def run_ladder():
-    """Try full -> mid -> small, each in a subprocess under a budget, and
-    relay the first JSON line that a rung produces."""
-    budget = float(os.environ.get("TOKAMAK_BENCH_BUDGET_S", "2400"))
-    for scale, rung_budget in (("full", budget), ("mid", budget * 0.5),
-                               ("small", budget * 0.35)):
-        log(f"[bench] ladder: trying scale={scale} (budget {rung_budget:.0f}s)")
+    """ASCENDING ladder: small -> mid -> full, each in a subprocess, banking
+    each rung's JSON line on stdout the moment it lands (the driver takes the
+    LAST parseable line, so the largest completed rung wins).  Per-rung
+    budgets derive from the remaining clock of TOKAMAK_BENCH_BUDGET_S — under
+    a hard external timeout a number is always already banked (VERDICT r03
+    weak #1: the descending ladder burned the whole clock on the full rung
+    and banked nothing)."""
+    budget = float(os.environ.get("TOKAMAK_BENCH_BUDGET_S", "2700"))
+    deadline = time.time() + budget
+    caps = {"small": 600.0, "mid": 1200.0, "full": None}
+    banked = 0
+    for scale in ("small", "mid", "full"):
+        remaining = deadline - time.time()
+        if remaining < 60:
+            log(f"[bench] ladder: {remaining:.0f}s left; stopping")
+            break
+        rung_budget = remaining if caps[scale] is None else min(
+            remaining, caps[scale])
+        log(f"[bench] ladder: scale={scale} (budget {rung_budget:.0f}s)")
         env = dict(os.environ, TOKAMAK_BENCH_SCALE=scale)
         t0 = time.time()
         try:
@@ -64,19 +77,21 @@ def run_ladder():
                                env=env)
         except subprocess.TimeoutExpired:
             log(f"[bench] ladder: scale={scale} timed out after "
-                f"{time.time()-t0:.0f}s; falling back")
-            continue
+                f"{time.time()-t0:.0f}s")
+            break  # larger rungs would only take longer
         except Exception as e:
-            log(f"[bench] ladder: scale={scale} failed: {e}; falling back")
-            continue
+            log(f"[bench] ladder: scale={scale} failed: {e}")
+            break
         out = p.stdout.decode().strip().splitlines()
         line = next((l for l in reversed(out) if l.startswith("{")), None)
         if p.returncode == 0 and line:
-            print(line, flush=True)
-            return 0
-        log(f"[bench] ladder: scale={scale} rc={p.returncode}; falling back")
-    log("[bench] ladder: every rung failed")
-    return 1
+            print(line, flush=True)  # bank it NOW
+            banked += 1
+            log(f"[bench] ladder: scale={scale} banked in {time.time()-t0:.0f}s")
+        else:
+            log(f"[bench] ladder: scale={scale} rc={p.returncode}; stopping")
+            break
+    return 0 if banked else 1
 
 
 def measure_per_op():
@@ -165,11 +180,13 @@ def main():
 
     cache_dir = os.path.join(os.path.dirname(__file__), ".cache",
                              f"crs_{scale}_{shape['n']}_{shape['s_max']}")
+    crs_load_s = None
     if os.path.exists(os.path.join(cache_dir, "sigma_meta.json")):
         log(f"[bench] loading cached CRS from {cache_dir}")
         t0 = time.time()
         sigma = crs_io.load_sigma(cache_dir)
-        log(f"[bench] CRS loaded in {time.time()-t0:.1f}s")
+        crs_load_s = round(time.time() - t0, 3)
+        log(f"[bench] CRS loaded in {crs_load_s}s")
     else:
         log("[bench] generating CRS (fixed tau) ...")
         t0 = time.time()
@@ -218,6 +235,8 @@ def main():
             raise SystemExit("proof did not verify")
 
     detail = {"spans": by_cat}
+    if crs_load_s is not None:
+        detail["crs_load_s"] = crs_load_s
     if os.environ.get("TOKAMAK_BENCH_PEROP", "1") == "1" and scale != "small":
         detail.update(measure_per_op())
 

@@ -25,6 +25,14 @@ Conventions shared with the reference:
 Documented simplifications (each vs the reference's full pipeline):
   * ALU selectors are free private wires of the ALU placement instead of
     routed through a static buffer (`arithmeticManager.ts:189`);
+  * in-code constants (PUSH immediates, CODESIZE/PC/MSIZE/GAS) bind lazily:
+    the first time one is consumed by a placement it is ingested through
+    bufferPrvIn and copy-constrained from there — the reference instead
+    routes every PUSH through a tracked *static* buffer
+    (`instructionHandler.ts:370`), which additionally pins the value to the
+    code itself; here the binding makes the copy web well-formed but the
+    constant's value is still prover-supplied (same class of relaxation as
+    the keccak/storage re-entries below);
   * KECCAK256 runs natively for EVM semantics and its result re-enters via
     bufferPrvIn; the reference additionally binds the preimage with Poseidon
     placements (`instructionHandler.ts:604-616`);
@@ -282,10 +290,17 @@ class Synthesizer:
         self._cycles.setdefault(producer, [producer]).append(consumer)
 
     def _consume(self, pt: DataPt, lo_cell, hi_cell):
-        """Copy-constrain an operand's limbs to their producer (if traced)."""
-        if pt.src is not None:
-            self._link(pt.src[0], lo_cell)
-            self._link(pt.src[1], hi_cell)
+        """Copy-constrain an operand's limbs to their producer.
+
+        Untraced constants (PUSH immediates etc.) bind lazily on first
+        consumption: ingested once through bufferPrvIn so every placement
+        input participates in the copy web (ADVICE r03: unbound ALU inputs).
+        DataPt is shared by reference through DUP/SWAP, so the binding
+        sticks for later consumers of the same stack value."""
+        if pt.src is None:
+            pt.src = self._load_word("prv", pt.value, "const-bind").src
+        self._link(pt.src[0], lo_cell)
+        self._link(pt.src[1], hi_cell)
 
     # ---- buffers --------------------------------------------------------
 
@@ -366,6 +381,25 @@ class Synthesizer:
 
     # ---- main loop ------------------------------------------------------
 
+    # memory expansion cap: calldata-controlled offsets would otherwise
+    # drive an unbounded host allocation (ADVICE r03; real EVM bounds this
+    # via gas-priced quadratic expansion)
+    MEM_CAP = 1 << 24  # 16 MiB
+
+    @staticmethod
+    def _valid_jumpdests(code: bytes) -> frozenset:
+        """JUMPDEST positions, skipping PUSH immediate data — a 0x5B byte
+        inside an immediate is NOT a valid target (ADVICE r03; the reference
+        reuses the EVM's valid-jumps analysis)."""
+        dests = set()
+        pc = 0
+        while pc < len(code):
+            op = code[pc]
+            if op == 0x5B:
+                dests.add(pc)
+            pc += 1 + (op - 0x5F if 0x60 <= op <= 0x7F else 0)
+        return frozenset(dests)
+
     def run(self, code: bytes, env: TxEnv, storage: dict[int, int],
             max_steps: int = 100_000) -> SynthesisResult:
         stack: list[DataPt] = []
@@ -376,8 +410,11 @@ class Synthesizer:
         storage_writes: dict[tuple[int, int], int] = {}
         returndata = b""
         reverted = False
+        jumpdests = self._valid_jumpdests(code)
 
         def mem_extend(end):
+            if end > self.MEM_CAP:
+                raise SynthesisError(f"memory expansion beyond cap: {end}")
             if end > len(mem):
                 mem.extend(b"\x00" * (-(-end // 32) * 32 - len(mem)))
 
@@ -530,14 +567,14 @@ class Synthesizer:
                 )
             elif name == "JUMP":
                 dest = pop().value
-                if dest >= len(code) or code[dest] != 0x5B:
+                if dest not in jumpdests:
                     raise SynthesisError(f"bad jump dest {dest}")
                 pc = dest
             elif name == "JUMPI":
                 dest_pt, cond = pop(), pop()
                 if cond.value:
                     dest = dest_pt.value
-                    if dest >= len(code) or code[dest] != 0x5B:
+                    if dest not in jumpdests:
                         raise SynthesisError(f"bad jump dest {dest}")
                     pc = dest
             elif name == "JUMPDEST":
@@ -558,6 +595,13 @@ class Synthesizer:
                 break
             else:
                 raise SynthesisError(f"unhandled opcode {name}")
+
+        if reverted:
+            # EVM journaling: a reverted frame discards its state effects —
+            # earlier SSTOREs must not surface in the public statement
+            # (ADVICE r03: storage_writes/_pub_out_pts survived REVERT)
+            storage_writes = {}
+            self._pub_out_pts = []
 
         return self._finalize(storage_writes, returndata, reverted)
 
