@@ -33,9 +33,18 @@ def main():
                 calldata=_transfer_calldata(RECIPIENT, 250))
     syn = Synthesizer(REFERENCE_LIBRARY, s_max=16)
     res = syn.run(code, env, storage)
-    print("placements:", len(res.placements), "perm:", len(res.permutation))
+    print("placements:", len(res.placements), "perm:", len(res.permutation),
+          flush=True)
 
-    sigma = generate_sigma(res.params, Tau.fixed(), res.library, res.infos)
+    from tokamak_zk_evm_tpu.io import crs as crs_io
+    cache = ".cache/crs_reallib_smax16"
+    if os.path.exists(os.path.join(cache, "sigma_meta.json")):
+        sigma = crs_io.load_sigma(cache)
+        print("sigma loaded from cache", flush=True)
+    else:
+        sigma = generate_sigma(res.params, Tau.fixed(), res.library, res.infos)
+        crs_io.save_sigma(sigma, cache)
+        print("sigma generated + cached", flush=True)
     pre = preprocess(sigma, res.permutation, res.instance, res.params)
     prover = Prover(
         res.params, sigma, res.library, res.infos, res.placements,

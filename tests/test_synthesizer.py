@@ -30,7 +30,9 @@ _SIMPLE = {
     "MOD": 0x06, "LT": 0x10, "GT": 0x11, "EQ": 0x14, "ISZERO": 0x15,
     "AND": 0x16, "OR": 0x17, "XOR": 0x18, "NOT": 0x19, "SHL": 0x1B,
     "SHR": 0x1C, "KECCAK256": 0x20, "CALLER": 0x33, "CALLVALUE": 0x34,
-    "CALLDATALOAD": 0x35, "CALLDATASIZE": 0x36, "POP": 0x50,
+    "CALLDATALOAD": 0x35, "CALLDATASIZE": 0x36, "CALLDATACOPY": 0x37,
+    "RETURNDATASIZE": 0x3D, "RETURNDATACOPY": 0x3E, "GAS": 0x5A,
+    "CALL": 0xF1, "DELEGATECALL": 0xF4, "STATICCALL": 0xFA, "POP": 0x50,
     "MLOAD": 0x51, "MSTORE": 0x52, "SLOAD": 0x54, "SSTORE": 0x55,
     "JUMP": 0x56, "JUMPI": 0x57, "JUMPDEST": 0x5B, "PUSH0": 0x5F,
     "RETURN": 0xF3, "REVERT": 0xFD, "TIMESTAMP": 0x42, "NUMBER": 0x43,
@@ -200,3 +202,138 @@ def test_prove_verify_synthesized_transfer(synthesis):
     v = Verifier(res.params, sigma, pre, res.instance, proof,
                  rng=np.random.default_rng(21))
     assert v.verify_snark()
+
+
+# ---------------------------------------------------------------------------
+# message-call frames (CALL / STATICCALL / DELEGATECALL / RETURNDATA*)
+# ---------------------------------------------------------------------------
+
+TOKEN_B = 0xBEEF00000000000000000000000000000000000B
+
+
+def _world(pairs):
+    from tokamak_zk_evm_tpu.frontend.synthesizer import AccountState
+
+    return {a: AccountState(code=c, storage=dict(s)) for a, c, s in pairs}
+
+
+# forwards its calldata to TOKEN_B via CALL, bubbles the result up
+ROUTER = [
+    ("CALLDATASIZE",), ("PUSH0",), ("PUSH0",), ("CALLDATACOPY",),
+    ("PUSH1", 32), ("PUSH0",),                    # ret area
+    ("CALLDATASIZE",), ("PUSH0",),                # args area
+    ("PUSH0",),                                   # value
+    ("PUSH20", TOKEN_B), ("GAS",), ("CALL",),
+    ("PUSH@", "ok"), ("JUMPI",),
+    ("PUSH0",), ("PUSH0",), ("REVERT",),
+    ("label", "ok"), ("JUMPDEST",),
+    ("PUSH1", 32), ("PUSH0",), ("PUSH0",), ("RETURNDATACOPY",),
+    ("PUSH1", 32), ("PUSH0",), ("RETURN",),
+]
+
+# reads slot 0 and returns it (STATICCALL target)
+GETTER = [
+    ("PUSH0",), ("SLOAD",), ("PUSH0",), ("MSTORE",),
+    ("PUSH1", 32), ("PUSH0",), ("RETURN",),
+]
+
+# writes CALLER into slot 1 (DELEGATECALL target)
+DELEG_WRITER = [
+    ("CALLER",), ("PUSH1", 1), ("SSTORE",),
+    ("PUSH0",), ("PUSH0",), ("RETURN",),
+]
+
+# SSTOREs then REVERTs (journaling target)
+WRITE_THEN_REVERT = [
+    ("PUSH1", 0xAA), ("PUSH1", 2), ("SSTORE",),
+    ("PUSH0",), ("PUSH0",), ("REVERT",),
+]
+
+
+def test_call_through_router():
+    from tokamak_zk_evm_tpu.frontend.synthesizer import Synthesizer, TxEnv
+
+    key_s, key_r = _slot_key(0xA11CE, 0), _slot_key(0xB0B, 0)
+    world = _world([
+        (CONTRACT, asm(ROUTER), {}),
+        (TOKEN_B, asm(TRANSFER), {key_s: 1000, key_r: 7}),
+    ])
+    env = TxEnv(caller=0xA11CE, address=CONTRACT,
+                calldata=_transfer_calldata(0xB0B, 250))
+    # NOTE: inner-frame CALLER is the router, so the balance key inside the
+    # token frame is keyed by the ROUTER address
+    key_router = _slot_key(CONTRACT, 0)
+    world[TOKEN_B].storage[key_router] = 400
+    res = Synthesizer(REFERENCE_LIBRARY, s_max=64).run_tx(env, world)
+    assert not res.reverted
+    assert int.from_bytes(res.returndata, "big") == 1
+    assert res.storage_writes[(TOKEN_B, key_router)] == 150
+    assert res.storage_writes[(TOKEN_B, key_r)] == 257
+    for p in res.placements:
+        assert check_r1cs_satisfaction(res.library[p.subcircuit_id],
+                                       p.variables)
+
+
+def test_staticcall_reads_and_parent_stores():
+    from tokamak_zk_evm_tpu.frontend.synthesizer import Synthesizer, TxEnv
+
+    # parent: STATICCALL getter, store the result in slot 5
+    parent = [
+        ("PUSH1", 32), ("PUSH0",),      # ret area
+        ("PUSH0",), ("PUSH0",),         # args
+        ("PUSH20", TOKEN_B), ("GAS",), ("STATICCALL",),
+        ("POP",),
+        ("PUSH0",), ("MLOAD",), ("PUSH1", 5), ("SSTORE",),
+        ("PUSH0",), ("PUSH0",), ("RETURN",),
+    ]
+    world = _world([
+        (CONTRACT, asm(parent), {}),
+        (TOKEN_B, asm(GETTER), {0: 0x1234}),
+    ])
+    res = Synthesizer(REFERENCE_LIBRARY, s_max=32).run_tx(
+        TxEnv(caller=SENDER, address=CONTRACT, calldata=b""), world)
+    assert not res.reverted
+    assert res.storage_writes[(CONTRACT, 5)] == 0x1234
+
+
+def test_delegatecall_writes_caller_storage():
+    from tokamak_zk_evm_tpu.frontend.synthesizer import Synthesizer, TxEnv
+
+    parent = [
+        ("PUSH0",), ("PUSH0",), ("PUSH0",), ("PUSH0",),
+        ("PUSH20", TOKEN_B), ("GAS",), ("DELEGATECALL",),
+        ("POP",),
+        ("PUSH0",), ("PUSH0",), ("RETURN",),
+    ]
+    world = _world([
+        (CONTRACT, asm(parent), {}),
+        (TOKEN_B, asm(DELEG_WRITER), {}),
+    ])
+    res = Synthesizer(REFERENCE_LIBRARY, s_max=32).run_tx(
+        TxEnv(caller=SENDER, address=CONTRACT, calldata=b""), world)
+    assert not res.reverted
+    # write lands in the PARENT's storage; msg.sender inside the delegate
+    # frame is the original caller
+    assert res.storage_writes[(CONTRACT, 1)] == SENDER
+
+
+def test_reverted_child_rolls_back():
+    from tokamak_zk_evm_tpu.frontend.synthesizer import Synthesizer, TxEnv
+
+    parent = [
+        ("PUSH0",), ("PUSH0",), ("PUSH0",), ("PUSH0",), ("PUSH0",),
+        ("PUSH20", TOKEN_B), ("GAS",), ("CALL",),
+        ("ISZERO",), ("PUSH1", 9), ("MUL",),     # success==0 -> 9
+        ("PUSH1", 7), ("SSTORE",),               # slot 7 := 9
+        ("PUSH0",), ("PUSH0",), ("RETURN",),
+    ]
+    world = _world([
+        (CONTRACT, asm(parent), {}),
+        (TOKEN_B, asm(WRITE_THEN_REVERT), {}),
+    ])
+    res = Synthesizer(REFERENCE_LIBRARY, s_max=32).run_tx(
+        TxEnv(caller=SENDER, address=CONTRACT, calldata=b""), world)
+    assert not res.reverted
+    # the child's SSTORE rolled back; only the parent's write survives
+    assert (TOKEN_B, 2) not in res.storage_writes
+    assert res.storage_writes[(CONTRACT, 7)] == 9

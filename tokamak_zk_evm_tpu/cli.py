@@ -45,6 +45,30 @@ def _load_synthesizer_outputs(d: str):
     return placements, instance, permutation
 
 
+def cmd_synthesize(args) -> int:
+    """Replay a transaction snapshot into circuit artifacts — the
+    reference's `tokamak-cli --synthesize` stage (`cli/src/cli.ts:122-171`,
+    input contract `core/src/app/synthesize.ts:31`)."""
+    from .frontend.snapshot import synthesize_from_snapshot
+    from .io import artifacts as art
+
+    t0 = time.time()
+    res = synthesize_from_snapshot(
+        args.input, _resolve_library(args), s_max=args.s_max)
+    _log(f"[synthesize] replay done in {time.time() - t0:.1f}s: "
+         f"{len(res.placements)} placements, "
+         f"{len(res.permutation)} permutation entries"
+         + (" (REVERTED)" if res.reverted else ""))
+    os.makedirs(args.output, exist_ok=True)
+    art.save_placement_variables(
+        res.placements, os.path.join(args.output, "placementVariables.json"))
+    art.save_instance(res.instance, os.path.join(args.output, "instance.json"))
+    art.save_permutation(
+        res.permutation, os.path.join(args.output, "permutation.json"))
+    _log(f"[synthesize] artifacts written to {args.output}")
+    return 0
+
+
 def cmd_setup(args) -> int:
     from .io import artifacts as art, crs
     from .models.setup import Tau, generate_sigma
@@ -239,6 +263,19 @@ def build_parser() -> argparse.ArgumentParser:
         description="TPU-native Tokamak zk-SNARK pipeline",
     )
     sub = p.add_subparsers(dest="command", required=True)
+
+    s = sub.add_parser(
+        "synthesize",
+        help="replay a tx snapshot into circuit artifacts "
+             "(previous_state_snapshot/transaction/block_info/contract_codes"
+             ".json)")
+    s.add_argument("--input", required=True,
+                   help="directory with the 4 snapshot input JSON files")
+    s.add_argument("--library", help="subcircuit library dir (optional when embedded or TZK_SUBCIRCUIT_LIBRARY is set)")
+    s.add_argument("--output", required=True)
+    s.add_argument("--s-max", type=int, default=256,
+                   help="placement budget (power of two, default 256)")
+    s.set_defaults(fn=cmd_synthesize)
 
     s = sub.add_parser("setup", help="generate the CRS (trusted setup)")
     s.add_argument("--library", help="subcircuit library dir (optional when embedded or TZK_SUBCIRCUIT_LIBRARY is set)")

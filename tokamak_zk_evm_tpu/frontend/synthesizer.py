@@ -87,16 +87,20 @@ OPCODES = {
     0x15: "ISZERO", 0x16: "AND", 0x17: "OR", 0x18: "XOR", 0x19: "NOT",
     0x1A: "BYTE", 0x1B: "SHL", 0x1C: "SHR", 0x1D: "SAR",
     0x20: "KECCAK256",
-    0x30: "ADDRESS", 0x33: "CALLER", 0x34: "CALLVALUE",
+    0x30: "ADDRESS", 0x31: "BALANCE", 0x32: "ORIGIN", 0x33: "CALLER",
+    0x34: "CALLVALUE",
     0x35: "CALLDATALOAD", 0x36: "CALLDATASIZE", 0x37: "CALLDATACOPY",
-    0x38: "CODESIZE",
-    0x41: "COINBASE", 0x42: "TIMESTAMP", 0x43: "NUMBER",
-    0x45: "GASLIMIT", 0x46: "CHAINID", 0x48: "BASEFEE",
+    0x38: "CODESIZE", 0x39: "CODECOPY", 0x3A: "GASPRICE",
+    0x3B: "EXTCODESIZE", 0x3C: "EXTCODECOPY",
+    0x3D: "RETURNDATASIZE", 0x3E: "RETURNDATACOPY", 0x3F: "EXTCODEHASH",
+    0x40: "BLOCKHASH", 0x41: "COINBASE", 0x42: "TIMESTAMP", 0x43: "NUMBER",
+    0x45: "GASLIMIT", 0x46: "CHAINID", 0x47: "SELFBALANCE", 0x48: "BASEFEE",
     0x50: "POP", 0x51: "MLOAD", 0x52: "MSTORE", 0x53: "MSTORE8",
     0x54: "SLOAD", 0x55: "SSTORE", 0x56: "JUMP", 0x57: "JUMPI",
     0x58: "PC", 0x59: "MSIZE", 0x5A: "GAS", 0x5B: "JUMPDEST",
     0x5F: "PUSH0",
-    0xF3: "RETURN", 0xFD: "REVERT",
+    0xF1: "CALL", 0xF2: "CALLCODE", 0xF3: "RETURN", 0xF4: "DELEGATECALL",
+    0xFA: "STATICCALL", 0xFD: "REVERT",
 }
 for _i in range(1, 33):
     OPCODES[0x5F + _i] = f"PUSH{_i}"
@@ -215,6 +219,8 @@ class TxEnv:
     chainid: int = 1
     coinbase: int = 0
     basefee: int = 0
+    gasprice: int = 0
+    prev_block_hashes: list = field(default_factory=list)
 
 
 class SynthesisError(RuntimeError):
@@ -223,6 +229,28 @@ class SynthesisError(RuntimeError):
 
 class OutOfPlacements(SynthesisError):
     pass
+
+
+@dataclass
+class AccountState:
+    """One account in the replayed world state (code + storage + balance)."""
+    code: bytes = b""
+    storage: dict[int, int] = field(default_factory=dict)
+    balance: int = 0
+
+
+@dataclass
+class _Msg:
+    """One message-call frame (the reference's @ethereumjs Message:
+    `synthesizer/handlers/instructionHandler.ts:226-315`)."""
+    caller: int
+    address: int          # storage/context address
+    code_address: int     # where the executing code lives (DELEGATECALL)
+    value: int
+    calldata: bytes
+    calldata_src: dict[int, DataPt]  # aligned word offset -> producer
+    static: bool = False
+    depth: int = 0
 
 
 @dataclass
@@ -240,16 +268,26 @@ class SynthesisResult:
 
 
 class Synthesizer:
-    """Replays one call frame and synthesizes the circuit artifacts.
+    """Replays a transaction (message calls included) and synthesizes the
+    circuit artifacts.
 
     Usage:
         syn = Synthesizer(library_dir, s_max=128)
-        result = syn.run(code, env, storage)
+        result = syn.run_tx(env, world)          # multi-contract world state
+        result = syn.run(code, env, storage)     # single-contract shortcut
     """
 
-    def __init__(self, library_dir: str, s_max: int = 128):
+    def __init__(self, library_dir: str, s_max: int = 128,
+                 hash_mode: str = "keccak"):
+        """hash_mode: 'keccak' replays the KECCAK256 opcode natively;
+        'poseidon' replaces it with a chained Poseidon placement, exactly as
+        the reference synthesizer does for Tokamak L2 replay
+        (`docs/opcodes.md:8-21`, `arithmeticManager.ts:232-258`) — this is
+        what binds hash preimages into the circuit."""
         from .witness_calculator import SubcircuitCalculators
 
+        assert hash_mode in ("keccak", "poseidon")
+        self.hash_mode = hash_mode
         self.params, self.infos, self.library = load_library(library_dir)
         assert s_max >= 8 and (s_max & (s_max - 1)) == 0
         self.params = dataclasses.replace(self.params, s_max=s_max)
@@ -379,12 +417,50 @@ class Synthesizer:
         return DataPt(out_val, (self._cell(info, o0, col),
                                 self._cell(info, o0 + 1, col)))
 
+    # ---- Poseidon placements (hash_mode='poseidon') ---------------------
+
+    def _place_poseidon_one(self, pts: list[DataPt], sel: int) -> DataPt:
+        """One Poseidon placement: chained Poseidon255 over 2..7 input
+        words, output selected by `sel` (`Poseidon_circuit.circom`)."""
+        info = self.by_name["Poseidon"]
+        ins = [sel]
+        for p in pts:
+            ins += [p.lo, p.hi]
+        ins += [0] * (info.In_idx[1] - len(ins))
+        w = self.calcs.witness(info.id, ins)
+        col = self._new_col()
+        self.placements.append(Placement(subcircuit_id=info.id, variables=w))
+        i0 = info.In_idx[0]
+        for j, p in enumerate(pts):
+            self._consume(p, self._cell(info, i0 + 1 + 2 * j, col),
+                          self._cell(info, i0 + 2 + 2 * j, col))
+        o0 = info.Out_idx[0]
+        out_val = w[o0] | (w[o0 + 1] << 128)
+        self.step_log.append(f"place Poseidon[{len(pts)}] -> {out_val:#x}")
+        return DataPt(out_val, (self._cell(info, o0, col),
+                                self._cell(info, o0 + 1, col)))
+
+    def _place_poseidon(self, pts: list[DataPt]) -> DataPt:
+        """Variable-length Poseidon chain, mirroring the reference's
+        placePoseidon (`arithmeticManager.ts:232-258`): 1 word pairs with a
+        zero, 2..7 words select chain stage 2^(k-2), longer inputs fold
+        7-word prefixes."""
+        if not pts:
+            pts = [DataPt(0), DataPt(0)]
+        if len(pts) == 1:
+            pts = [pts[0], DataPt(0)]
+        while len(pts) > 7:
+            prefix = self._place_poseidon_one(pts[:7], 32)
+            pts = [prefix] + pts[7:]
+        return self._place_poseidon_one(pts, 1 << (len(pts) - 2))
+
     # ---- main loop ------------------------------------------------------
 
     # memory expansion cap: calldata-controlled offsets would otherwise
     # drive an unbounded host allocation (ADVICE r03; real EVM bounds this
     # via gas-priced quadratic expansion)
     MEM_CAP = 1 << 24  # 16 MiB
+    MAX_DEPTH = 64
 
     @staticmethod
     def _valid_jumpdests(code: bytes) -> frozenset:
@@ -402,15 +478,78 @@ class Synthesizer:
 
     def run(self, code: bytes, env: TxEnv, storage: dict[int, int],
             max_steps: int = 100_000) -> SynthesisResult:
+        """Single-contract convenience entry: the transaction target is the
+        only account with code."""
+        world = {env.address: AccountState(code=code, storage=dict(storage))}
+        return self.run_tx(env, world, max_steps=max_steps)
+
+    def run_tx(self, env: TxEnv, world: dict[int, AccountState],
+               max_steps: int = 100_000) -> SynthesisResult:
+        """Replay one transaction against a world state (account -> code /
+        storage / balance), following message calls into other contracts —
+        the counterpart of `synthesizeFromSnapshotInput` over a state
+        snapshot (`core/src/app/synthesize.ts:31`,
+        `instructionHandler.ts:226-315` for the CALL family)."""
+        self.env = env
+        self.world = {a: acct for a, acct in world.items()}
+        self.storage_writes: dict[tuple[int, int], int] = {}
+        self._steps_left = max_steps
+        msg = _Msg(
+            caller=env.caller, address=env.address,
+            code_address=env.address, value=env.callvalue,
+            calldata=env.calldata, calldata_src={}, depth=0,
+        )
+        success, returndata, _ = self._exec_frame(msg)
+        reverted = not success
+        if reverted:
+            # EVM journaling: a reverted transaction discards its state
+            # effects — earlier SSTOREs must not surface in the public
+            # statement (ADVICE r03)
+            self.storage_writes = {}
+            self._pub_out_pts = []
+        return self._finalize(self.storage_writes, returndata, reverted)
+
+    def _account(self, addr: int) -> AccountState:
+        acct = self.world.get(addr)
+        if acct is None:
+            acct = self.world[addr] = AccountState()
+        return acct
+
+    def _snapshot(self):
+        return (
+            {a: dict(acct.storage) for a, acct in self.world.items()},
+            {a: acct.balance for a, acct in self.world.items()},
+            dict(self.storage_writes),
+            len(self._pub_out_pts),
+        )
+
+    def _restore(self, snap):
+        storages, balances, writes, n_pub = snap
+        for a, st in storages.items():
+            self.world[a].storage = st
+        for a, b in balances.items():
+            self.world[a].balance = b
+        self.storage_writes = writes
+        del self._pub_out_pts[n_pub:]
+
+    def _exec_frame(self, msg: _Msg) -> tuple[bool, bytes, dict]:
+        """Execute one call frame; returns (success, returndata bytes,
+        returndata word provenance {aligned offset -> DataPt})."""
+        env = self.env
+        code = self._account(msg.code_address).code
+        storage_acct = self._account(msg.address)
         stack: list[DataPt] = []
         mem = bytearray()
         # provenance of 32-byte-aligned memory words: offset -> DataPt
         memsrc: dict[int, DataPt] = {}
-        storage = dict(storage)
-        storage_writes: dict[tuple[int, int], int] = {}
         returndata = b""
+        retsrc: dict[int, DataPt] = {}
+        # child-call returndata buffer (RETURNDATASIZE/RETURNDATACOPY)
+        last_ret = b""
+        last_retsrc: dict[int, DataPt] = {}
         reverted = False
         jumpdests = self._valid_jumpdests(code)
+        top = msg.depth == 0
 
         def mem_extend(end):
             if end > self.MEM_CAP:
@@ -429,14 +568,18 @@ class Synthesizer:
             return stack.pop()
 
         def calldata_word(off: int) -> int:
-            d = env.calldata[off:off + 32]
+            d = msg.calldata[off:off + 32]
             return int.from_bytes(d + b"\x00" * (32 - len(d)), "big")
 
+        def load_env_word(value: int, note: str) -> DataPt:
+            """Transaction-context words are public function instance at the
+            top frame; inner-frame context is internal -> private buffer."""
+            return self._load_word("evm" if top else "prv", value, note)
+
         pc = 0
-        steps = 0
         while pc < len(code):
-            steps += 1
-            if steps > max_steps:
+            self._steps_left -= 1
+            if self._steps_left < 0:
                 raise SynthesisError("step budget exceeded")
             op = code[pc]
             name = OPCODES.get(op)
@@ -489,30 +632,80 @@ class Synthesizer:
                 off_pt, len_pt = pop(), pop()
                 off, ln = off_pt.value, len_pt.value
                 mem_extend(off + ln)
-                h = int.from_bytes(keccak256(bytes(mem[off:off + ln])), "big")
-                push(self._load_word("prv", h, "keccak256"))
+                data = bytes(mem[off:off + ln])
+                if self.hash_mode == "poseidon":
+                    # the reference's L2 replay REPLACES keccak with a
+                    # chained Poseidon placement over the 32-byte memory
+                    # words (`instructionHandler.ts:604-616`) — the
+                    # preimage is bound into the circuit
+                    word_pts = []
+                    for w0 in range(0, max(ln, 1), 32):
+                        chunk = data[w0:w0 + 32]
+                        val = int.from_bytes(chunk, "big")
+                        src = memsrc.get(off + w0)
+                        if (src is not None and len(chunk) == 32
+                                and src.value == val):
+                            word_pts.append(src)
+                        else:
+                            word_pts.append(DataPt(val))
+                    push(self._place_poseidon(word_pts))
+                else:
+                    h = int.from_bytes(keccak256(data), "big")
+                    push(self._load_word("prv", h, "keccak256"))
             elif name == "CALLER":
-                push(self._load_word("evm", env.caller, "CALLER"))
+                push(load_env_word(msg.caller, "CALLER"))
+            elif name == "ORIGIN":
+                push(load_env_word(env.caller, "ORIGIN"))
             elif name == "ADDRESS":
-                push(self._load_word("evm", env.address, "ADDRESS"))
+                push(load_env_word(msg.address, "ADDRESS"))
             elif name == "CALLVALUE":
-                push(self._load_word("evm", env.callvalue, "CALLVALUE"))
+                push(load_env_word(msg.value, "CALLVALUE"))
             elif name == "CALLDATASIZE":
-                push(self._load_word("evm", len(env.calldata), "CALLDATASIZE"))
+                push(load_env_word(len(msg.calldata), "CALLDATASIZE"))
             elif name == "CALLDATALOAD":
                 off = pop().value
-                push(self._load_word("evm", calldata_word(off),
-                                     f"CALLDATALOAD[{off}]"))
+                src = msg.calldata_src.get(off)
+                if src is not None and src.value == calldata_word(off):
+                    push(src)  # aligned caller-memory word: keep provenance
+                else:
+                    push(self._load_word(
+                        "evm" if top else "prv", calldata_word(off),
+                        f"CALLDATALOAD[{off}]"))
             elif name == "CALLDATACOPY":
                 doff, soff, ln = pop().value, pop().value, pop().value
                 mem_extend(doff + ln)
-                chunk = env.calldata[soff:soff + ln]
+                chunk = msg.calldata[soff:soff + ln]
                 chunk += b"\x00" * (ln - len(chunk))
                 mem[doff:doff + ln] = chunk
                 for w0 in range(doff - doff % 32, doff + ln, 32):
                     memsrc.pop(w0, None)  # conservatively drop provenance
             elif name == "CODESIZE":
                 push(DataPt(len(code)))
+            elif name == "CODECOPY":
+                doff, soff, ln = pop().value, pop().value, pop().value
+                mem_extend(doff + ln)
+                chunk = code[soff:soff + ln]
+                chunk += b"\x00" * (ln - len(chunk))
+                mem[doff:doff + ln] = chunk
+                for w0 in range(doff - doff % 32, doff + ln, 32):
+                    memsrc.pop(w0, None)
+            elif name == "EXTCODECOPY":
+                addr = pop().value & ((1 << 160) - 1)
+                doff, soff, ln = pop().value, pop().value, pop().value
+                mem_extend(doff + ln)
+                ext = self._account(addr).code
+                chunk = ext[soff:soff + ln]
+                chunk += b"\x00" * (ln - len(chunk))
+                mem[doff:doff + ln] = chunk
+                for w0 in range(doff - doff % 32, doff + ln, 32):
+                    memsrc.pop(w0, None)
+            elif name == "BLOCKHASH":
+                bn = pop().value
+                delta = env.number - bn
+                hashes = getattr(env, "prev_block_hashes", []) or []
+                h = (hashes[delta - 1]
+                     if 1 <= delta <= len(hashes) else 0)
+                push(self._load_word("prv", h, f"BLOCKHASH[{bn}]"))
             elif name in ("TIMESTAMP", "NUMBER", "GASLIMIT", "CHAINID",
                           "COINBASE", "BASEFEE"):
                 v = {"TIMESTAMP": env.timestamp, "NUMBER": env.number,
@@ -553,18 +746,118 @@ class Synthesizer:
                 push(DataPt(10**9))
             elif name == "SLOAD":
                 key = pop().value
-                push(self._load_word("prv", storage.get(key, 0),
-                                     f"SLOAD[{key:#x}]"))
+                push(self._load_word(
+                    "prv", storage_acct.storage.get(key, 0),
+                    f"SLOAD[{key:#x}]"))
             elif name == "SSTORE":
+                if msg.static:
+                    raise SynthesisError("SSTORE in static context")
                 key_pt, val_pt = pop(), pop()
-                storage[key_pt.value] = val_pt.value
-                storage_writes[(env.address, key_pt.value)] = val_pt.value
+                storage_acct.storage[key_pt.value] = val_pt.value
+                self.storage_writes[(msg.address, key_pt.value)] = \
+                    val_pt.value
                 # a stored word is an output of the proven computation:
                 # surface it (and its provenance) in the public output buffer
                 self._pub_out_pts.append(val_pt)
                 self.step_log.append(
                     f"SSTORE[{key_pt.value:#x}] = {val_pt.value:#x}"
                 )
+            elif name == "BALANCE":
+                addr = pop().value & ((1 << 160) - 1)
+                push(self._load_word("prv", self._account(addr).balance,
+                                     f"BALANCE[{addr:#x}]"))
+            elif name == "SELFBALANCE":
+                push(self._load_word(
+                    "prv", self._account(msg.address).balance, "SELFBALANCE"))
+            elif name == "EXTCODESIZE":
+                addr = pop().value & ((1 << 160) - 1)
+                push(self._load_word("prv", len(self._account(addr).code),
+                                     f"EXTCODESIZE[{addr:#x}]"))
+            elif name == "EXTCODEHASH":
+                addr = pop().value & ((1 << 160) - 1)
+                acct = self._account(addr)
+                h = (int.from_bytes(keccak256(acct.code), "big")
+                     if (acct.code or acct.storage or acct.balance) else 0)
+                push(self._load_word("prv", h, f"EXTCODEHASH[{addr:#x}]"))
+            elif name == "GASPRICE":
+                push(load_env_word(env.gasprice, "GASPRICE"))
+            elif name == "RETURNDATASIZE":
+                push(DataPt(len(last_ret)))
+            elif name == "RETURNDATACOPY":
+                doff, soff, ln = pop().value, pop().value, pop().value
+                if soff + ln > len(last_ret):
+                    raise SynthesisError("RETURNDATACOPY out of bounds")
+                mem_extend(doff + ln)
+                mem[doff:doff + ln] = last_ret[soff:soff + ln]
+                for w0 in range(doff - doff % 32, doff + ln, 32):
+                    memsrc.pop(w0, None)
+                if doff % 32 == 0 and soff % 32 == 0:
+                    # aligned copy: carry word provenance across the frame
+                    for w0 in range(0, ln - 31, 32):
+                        src = last_retsrc.get(soff + w0)
+                        if src is not None:
+                            memsrc[doff + w0] = src
+            elif name in ("CALL", "STATICCALL", "DELEGATECALL", "CALLCODE"):
+                pop()  # gas (not modeled; GAS pushes a dummy)
+                to = pop().value & ((1 << 160) - 1)
+                if name in ("CALL", "CALLCODE"):
+                    value = pop().value
+                else:
+                    value = 0
+                aoff, aln = pop().value, pop().value
+                roff, rln = pop().value, pop().value
+                mem_extend(aoff + aln)
+                calldata = bytes(mem[aoff:aoff + aln])
+                cd_src = {}
+                if aoff % 32 == 0:
+                    for w0 in range(0, aln - 31, 32):
+                        src = memsrc.get(aoff + w0)
+                        if src is not None:
+                            cd_src[w0] = src
+                if name == "CALL" and msg.static and value:
+                    raise SynthesisError("value CALL in static context")
+                if msg.depth + 1 > self.MAX_DEPTH:
+                    success, ret, rsrc = False, b"", {}
+                else:
+                    snap = self._snapshot()
+                    sender = self._account(msg.address)
+                    if value:
+                        if sender.balance < value:
+                            raise SynthesisError("insufficient balance")
+                        sender.balance -= value
+                        self._account(to).balance += value
+                    child = _Msg(
+                        caller=(msg.caller if name == "DELEGATECALL"
+                                else msg.address),
+                        address=(msg.address
+                                 if name in ("DELEGATECALL", "CALLCODE")
+                                 else to),
+                        code_address=to,
+                        value=(msg.value if name == "DELEGATECALL"
+                               else value),
+                        calldata=calldata, calldata_src=cd_src,
+                        static=msg.static or name == "STATICCALL",
+                        depth=msg.depth + 1,
+                    )
+                    self.step_log.append(
+                        f"{name} -> {to:#x} ({len(calldata)}B)"
+                    )
+                    success, ret, rsrc = self._exec_frame(child)
+                    if not success:
+                        self._restore(snap)
+                last_ret, last_retsrc = ret, rsrc
+                n = min(rln, len(ret))
+                if n:
+                    mem_extend(roff + n)
+                    mem[roff:roff + n] = ret[:n]
+                    for w0 in range(roff - roff % 32, roff + n, 32):
+                        memsrc.pop(w0, None)
+                    if roff % 32 == 0:
+                        for w0 in range(0, n - 31, 32):
+                            src = rsrc.get(w0)
+                            if src is not None:
+                                memsrc[roff + w0] = src
+                push(DataPt(int(success)))
             elif name == "JUMP":
                 dest = pop().value
                 if dest not in jumpdests:
@@ -592,18 +885,16 @@ class Synthesizer:
                 mem_extend(off + ln)
                 returndata = bytes(mem[off:off + ln])
                 reverted = name == "REVERT"
+                if off % 32 == 0:
+                    for w0 in range(0, ln - 31, 32):
+                        src = memsrc.get(off + w0)
+                        if src is not None:
+                            retsrc[w0] = src
                 break
             else:
                 raise SynthesisError(f"unhandled opcode {name}")
 
-        if reverted:
-            # EVM journaling: a reverted frame discards its state effects —
-            # earlier SSTOREs must not surface in the public statement
-            # (ADVICE r03: storage_writes/_pub_out_pts survived REVERT)
-            storage_writes = {}
-            self._pub_out_pts = []
-
-        return self._finalize(storage_writes, returndata, reverted)
+        return (not reverted, returndata, retsrc)
 
     # ---- artifact assembly ---------------------------------------------
 
