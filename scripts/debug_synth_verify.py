@@ -9,7 +9,21 @@ import os
 import sys
 
 sys.path.insert(0, ".")
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# force CPU: the axon plugin overrides the env var at interpreter
+# start (see tests/conftest.py) — must use jax.config directly
+import os
+
+os.environ["JAX_PLATFORMS"] = "cpu"
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+from jax._src import xla_bridge as _xb
+
+if _xb.backends_are_initialized():
+    from jax.extend.backend import clear_backends
+
+    clear_backends()
+assert jax.devices()[0].platform == "cpu", jax.devices()
 
 import numpy as np
 

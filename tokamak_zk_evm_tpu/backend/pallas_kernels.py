@@ -1210,8 +1210,7 @@ def _msm_wb(n: int, c: int, W: int) -> int:
     return -(-W // steps)
 
 
-@functools.lru_cache(maxsize=None)
-def _msm_windows_fn(n, wb, c):
+def _msm_windows_core(n, wb, c):
     """Jitted MSM core for a padded point count n (pow2): W = ceil(255/c)
     windows of c bits, wb windows per lax.scan step.
 
@@ -1309,7 +1308,34 @@ def _msm_windows_fn(n, wb, c):
         bY = jnp.moveaxis(bYs, 1, 0).reshape(FQ_L, steps * wb, NB)
         return _weighted_bucket_tail(bX, bY)
 
-    return jax.jit(run)
+    return run
+
+
+@functools.lru_cache(maxsize=None)
+def _msm_windows_fn(n, wb, c):
+    return jax.jit(_msm_windows_core(n, wb, c))
+
+
+@functools.lru_cache(maxsize=None)
+def _msm_full_fn(N, n, wb, c):
+    """The WHOLE per-call MSM device pipeline as ONE jitted function with
+    ONE stacked output: padding, digit extraction, the windowed scan, and
+    the weighted bucket tail.  Through the remote TPU tunnel every eager op
+    and every host pull costs a round trip — the previous eager
+    pad/astype/slice chain plus two separate result pulls made even an
+    N=8 MSM cost ~1.3 s; one dispatch + one pull removes that floor."""
+    run = _msm_windows_core(n, wb, c)
+
+    def full(scalars, px, py, pinf):
+        xp = jnp.pad(px, ((0, 0), (0, n - N)))
+        yp = jnp.pad(py, ((0, 0), (0, n - N)))
+        infp = jnp.pad(pinf.astype(jnp.uint32), (0, n - N),
+                       constant_values=1)
+        sc = jnp.pad(scalars.astype(jnp.uint32), ((0, 0), (0, n - N)))
+        sX, sY = run(sc, xp, yp, infp)
+        return jnp.stack([sX, sY])  # [2, W, c, 24]
+
+    return jax.jit(full)
 
 
 def _aff_tree_sum_last(X, Y):
@@ -1364,13 +1390,9 @@ def g1_msm(scalars, px, py, pinf):
     c = _msm_c(n)
     W = -(-255 // c)
     wb = _msm_wb(n, c, W)
-    pinf = pinf.astype(jnp.uint32)
-    xp = jnp.pad(px, ((0, 0), (0, n - N)))
-    yp = jnp.pad(py, ((0, 0), (0, n - N)))
-    infp = jnp.pad(pinf, (0, n - N), constant_values=1)
-    sc = jnp.pad(scalars.astype(jnp.uint32), ((0, 0), (0, n - N)))
-    sX, sY = _msm_windows_fn(n, wb, c)(sc, xp, yp, infp)
-    sXh, sYh = np.asarray(sX), np.asarray(sY)
+    out = _msm_full_fn(N, n, wb, c)(scalars, px, py, pinf)
+    both = np.asarray(out)  # ONE host pull for the whole result
+    sXh, sYh = both[0], both[1]
     exps, pts = [], []
     for wi in range(sXh.shape[0]):  # includes padded windows (all-infinity)
         for lev in range(sXh.shape[1]):

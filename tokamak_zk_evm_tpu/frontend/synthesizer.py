@@ -296,7 +296,19 @@ class Synthesizer:
         self.by_name = {i.name: i for i in self.infos}
         self.l = self.params.l
 
-        self.placements: list[Placement] = []
+        # The five buffer placements sit at FIXED canonical columns: the CRS
+        # instance family bakes the column Lagrange into each instance wire
+        # (L_0(y) for bufferPubOut outs, L_1 for bufferPubIn, L_2 for
+        # bufferBlockIn, L_3 for bufferEVMIn — models/setup.py user_vec,
+        # `group_structures/mod.rs:408-447`), so binding verifies only with
+        # buffers at columns 0..4 (the reference reserves them the same way,
+        # `handlers/bufferManager.ts`).
+        self.placements: list[Placement] = [None] * 5
+        self._pub_out_col = 0
+        self._pub_in_col = 1
+        self._block_col = 2
+        self._evm_in_col = 3
+        self._prv_in_col = 4
         # copy web: producer cell -> growable cycle (list of cells)
         self._cycles: dict[tuple[int, int], list] = {}
         self.step_log: list[str] = []
@@ -306,9 +318,6 @@ class Synthesizer:
         self._prv_in_vals: list[int] = []   # bufferPrvIn ins (private)
         self._block_vals: list[int] = []    # bufferBlockIn ins
         self._pub_out_pts: list[DataPt] = []  # words returned publicly
-        self._evm_in_col: int | None = None
-        self._prv_in_col: int | None = None
-        self._block_col: int | None = None
 
     # ---- placement plumbing -------------------------------------------
 
@@ -344,25 +353,17 @@ class Synthesizer:
 
     def _buffer_reserve(self, which: str, nslots: int) -> tuple[int, int]:
         """Reserve `nslots` consecutive limb slots in a buffer; returns
-        (placement col, first slot index).  Buffer placements are finalized
-        (witnessed) at the end of the run, once all slots are known."""
+        (placement col, first slot index).  Buffer placements live at their
+        canonical reserved columns and are finalized (witnessed) at the end
+        of the run, once all slots are known."""
         if which == "evm":
             info = self.by_name["bufferEVMIn"]
-            if self._evm_in_col is None:
-                self._evm_in_col = self._new_col()
-                self.placements.append(None)  # reserved; finalized later
             vals, col = self._evm_in_vals, self._evm_in_col
         elif which == "prv":
             info = self.by_name["bufferPrvIn"]
-            if self._prv_in_col is None:
-                self._prv_in_col = self._new_col()
-                self.placements.append(None)
             vals, col = self._prv_in_vals, self._prv_in_col
         elif which == "block":
             info = self.by_name["bufferBlockIn"]
-            if self._block_col is None:
-                self._block_col = self._new_col()
-                self.placements.append(None)
             vals, col = self._block_vals, self._block_col
         else:
             raise ValueError(which)
@@ -909,10 +910,8 @@ class Synthesizer:
             _buffer_placement, check_r1cs_satisfaction,
         )
 
-        # finalize reserved input buffers in place
+        # finalize reserved input buffers at their canonical columns
         def fin(col, info, vals):
-            if col is None:
-                return
             io = vals + [0] * (info.In_idx[1] - len(vals))
             self.placements[col] = _buffer_placement(info, io)
 
@@ -932,8 +931,8 @@ class Synthesizer:
                 links.append((pt.src, len(out_vals)))
             out_vals.extend([pt.lo, pt.hi])
         out_vals += [0] * (out_slots - len(out_vals))
-        pub_out_col = self._new_col()
-        self.placements.append(_buffer_placement(pub_out_i, out_vals))
+        pub_out_col = self._pub_out_col
+        self.placements[pub_out_col] = _buffer_placement(pub_out_i, out_vals)
         for (src_lo, src_hi), slot in links:
             i0 = pub_out_i.In_idx[0]
             self._link(src_lo, self._cell(pub_out_i, i0 + slot, pub_out_col))
@@ -942,9 +941,8 @@ class Synthesizer:
 
         # bufferPubIn is the L2 state-channel interface; unused by a plain
         # contract call — placed as zeros for shape parity
-        pub_in_col = self._new_col()
-        self.placements.append(
-            _buffer_placement(pub_in_i, [0] * pub_in_i.In_idx[1])
+        self.placements[self._pub_in_col] = _buffer_placement(
+            pub_in_i, [0] * pub_in_i.In_idx[1]
         )
 
         for pl in self.placements:
