@@ -117,3 +117,54 @@ def test_full_prove_under_mesh_context():
     assert proof_sharded == proof_plain
     pre = preprocess(sigma, fx.permutation, fx.instance, fx.params)
     assert Verifier(fx.params, sigma, pre, fx.instance, proof_sharded).verify_snark()
+
+
+# ---------------------------------------------------------------------------
+# 2-D (hosts x chips) mesh: the DCN-axis code path (parallel/multihost.py)
+# ---------------------------------------------------------------------------
+
+
+def test_bintt_dist_2d_mesh():
+    from tokamak_zk_evm_tpu.parallel.mesh import make_mesh_2d, mesh_size
+
+    mesh = make_mesh_2d(n_hosts=2, per_host=4)
+    assert mesh_size(mesh) == 8 and mesh.axis_names == ("hosts", "chips")
+    x_size, y_size = 16, 8
+    grid_ints = [
+        [int.from_bytes(RNG.bytes(32), "little") % R_MOD for _ in range(y_size)]
+        for _ in range(x_size)
+    ]
+    grid = jnp.asarray(F.pack_fr(grid_ints))
+    want = np.asarray(ntt_mod.bintt(grid))
+    got = np.asarray(ntt_dist.bintt_dist(grid, mesh))
+    assert (got == want).all()
+    back = np.asarray(ntt_dist.bintt_dist(jnp.asarray(got), mesh, inverse=True))
+    assert (back == np.asarray(grid)).all()
+
+
+def test_msm_dist_2d_mesh():
+    from tokamak_zk_evm_tpu.parallel.mesh import make_mesh_2d
+
+    mesh = make_mesh_2d(n_hosts=2, per_host=4)
+    n = 64
+    pts = [
+        C.g1_scalar_mul_affine(C.G1.gen, int.from_bytes(RNG.bytes(16), "little"))
+        for _ in range(n)
+    ]
+    scalars = [int.from_bytes(RNG.bytes(32), "little") % R_MOD for _ in range(n)]
+    px, py, pinf = cv.pack_affine(pts)
+    s = msm_mod.scalars_from_ints(scalars)
+    got = msm_dist.msm_dist(s, px, py, pinf, mesh)
+    want = C.G1.msm_affine(scalars, pts)
+    assert got == want
+
+
+def test_multihost_init_noop_single_process():
+    from tokamak_zk_evm_tpu.parallel import multihost
+
+    # no TZK_COORDINATOR set: init is a no-op, single-process runtime
+    assert multihost.init_from_env() is False
+    mesh = multihost.global_mesh()
+    assert mesh.axis_names == ("chips",)
+    mesh2d = multihost.global_mesh(two_d=True)
+    assert mesh2d.axis_names == ("hosts", "chips")

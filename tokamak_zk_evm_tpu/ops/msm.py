@@ -35,9 +35,9 @@ def msm(scalars_canonical, px, py, pinf):
 
     mesh = context.get_mesh()
     if mesh is not None:
-        from ..parallel.mesh import AXIS
+        from ..parallel.mesh import mesh_size
 
-        n_dev = mesh.shape[AXIS]
+        n_dev = mesh_size(mesh)
         if n_dev > 1:
             from ..parallel import msm_dist
 

@@ -95,12 +95,12 @@ def bintt(
 def _active_mesh(x_size: int, y_size: int):
     """The context mesh, if the grid can be row- and column-sharded on it."""
     from ..parallel import context
-    from ..parallel.mesh import AXIS
+    from ..parallel.mesh import mesh_size
 
     mesh = context.get_mesh()
     if mesh is None:
         return None
-    n_dev = mesh.shape[AXIS]
+    n_dev = mesh_size(mesh)
     if n_dev <= 1 or x_size % n_dev or y_size % n_dev:
         return None
     return mesh

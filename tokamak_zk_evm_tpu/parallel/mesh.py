@@ -12,6 +12,7 @@ import jax
 import numpy as np
 
 AXIS = "chips"
+DCN_AXIS = "hosts"
 
 
 def make_mesh(n_devices: int | None = None) -> jax.sharding.Mesh:
@@ -19,6 +20,34 @@ def make_mesh(n_devices: int | None = None) -> jax.sharding.Mesh:
     if n_devices is not None:
         devices = devices[:n_devices]
     return jax.sharding.Mesh(np.asarray(devices), (AXIS,))
+
+
+def make_mesh_2d(n_hosts: int | None = None,
+                 per_host: int | None = None) -> jax.sharding.Mesh:
+    """2-D (hosts x chips) mesh: the outer axis crosses DCN (host
+    boundaries), the inner axis rides ICI.  On a multi-host runtime
+    (`multihost.init_from_env`) jax.devices() spans every process and
+    devices group per host; on a single host this still produces a logical
+    2-D mesh for testing the DCN-axis code path."""
+    devices = np.asarray(jax.devices())
+    if n_hosts is None:
+        n_hosts = max(1, jax.process_count())
+    if per_host is None:
+        per_host = len(devices) // n_hosts
+    devices = devices[: n_hosts * per_host]
+    return jax.sharding.Mesh(devices.reshape(n_hosts, per_host),
+                             (DCN_AXIS, AXIS))
+
+
+def compute_axes(mesh) -> tuple:
+    """Every mesh axis, outer (DCN) first — the compute shard axes for the
+    dist ops.  Collectives spanning the tuple cross DCN once per step; XLA
+    routes the intra-host legs over ICI."""
+    return tuple(mesh.axis_names)
+
+
+def mesh_size(mesh) -> int:
+    return int(np.prod([mesh.shape[a] for a in mesh.axis_names]))
 
 
 def row_sharding(mesh):

@@ -17,7 +17,7 @@ import jax.numpy as jnp
 
 from ..backend import api as B
 from ..ops import field as F
-from .mesh import AXIS
+from .mesh import compute_axes, mesh_size
 
 
 @functools.lru_cache(maxsize=None)
@@ -27,10 +27,11 @@ def _local_msm_fn(mesh):
     def body(scalars, px, py, pinf):
         return B.g1_msm(scalars, px, py, pinf)  # [3, 24] per shard
 
+    axes = compute_axes(mesh)
     mapped = jax.shard_map(
         body, mesh=mesh,
-        in_specs=(P(None, AXIS), P(None, AXIS), P(None, AXIS), P(AXIS)),
-        out_specs=P(AXIS, None),
+        in_specs=(P(None, axes), P(None, axes), P(None, axes), P(axes)),
+        out_specs=P(axes, None),
         check_vma=False,
     )
     return jax.jit(mapped)
@@ -42,7 +43,7 @@ def msm_dist(scalars_canonical, px, py, pinf, mesh):
 
     from ..host.curve import G1
 
-    n_dev = mesh.shape[AXIS]
+    n_dev = mesh_size(mesh)
     out = _local_msm_fn(mesh)(scalars_canonical, px, py, pinf)
     rows = np.asarray(out).reshape(n_dev, 3, 24)
     acc = G1.infinity

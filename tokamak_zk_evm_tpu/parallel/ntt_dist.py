@@ -19,10 +19,10 @@ import jax
 import jax.numpy as jnp
 
 from ..ops import ntt as ntt_mod
-from .mesh import AXIS
+from .mesh import compute_axes, mesh_size
 
 
-def _bintt_sharded_body(grid, x_size: int, y_size: int, inverse: bool):
+def _bintt_sharded_body(grid, x_size: int, y_size: int, inverse: bool, axes=None):
     """shard_map body.  grid: local [16, x_size/n, y_size] rows.
 
     Output: local [16, x_size, y_size/n] columns (Y-sharded)."""
@@ -31,7 +31,7 @@ def _bintt_sharded_body(grid, x_size: int, y_size: int, inverse: bool):
         grid = ntt_mod.ntt_batched(grid, inverse=inverse)
     # transpose shards: split Y locally, all-to-all over ICI, gather X
     # local [16, x/n, y] -> [16, x, y/n]
-    grid = jax.lax.all_to_all(grid, AXIS, split_axis=2, concat_axis=1, tiled=True)
+    grid = jax.lax.all_to_all(grid, axes, split_axis=2, concat_axis=1, tiled=True)
     # pass 2: X-axis NTT on local columns
     if x_size > 1:
         g = jnp.swapaxes(grid, 1, 2)  # [16, y/n, x]
@@ -43,13 +43,15 @@ def _bintt_sharded_body(grid, x_size: int, y_size: int, inverse: bool):
 @functools.lru_cache(maxsize=None)
 def _bintt_dist_fn(mesh, x_size: int, y_size: int, inverse: bool):
     P = jax.sharding.PartitionSpec
+    axes = compute_axes(mesh)
     body = functools.partial(
-        _bintt_sharded_body, x_size=x_size, y_size=y_size, inverse=inverse
+        _bintt_sharded_body, x_size=x_size, y_size=y_size, inverse=inverse,
+        axes=axes,
     )
     mapped = jax.shard_map(
         body, mesh=mesh,
-        in_specs=P(None, AXIS, None),
-        out_specs=P(None, None, AXIS),
+        in_specs=P(None, axes, None),
+        out_specs=P(None, None, axes),
         check_vma=False,
     )
     return jax.jit(mapped)
@@ -63,6 +65,6 @@ def bintt_dist(grid, mesh, inverse: bool = False):
     `ops.ntt.bintt` (tested against it on a host-platform mesh).
     """
     L, x_size, y_size = grid.shape
-    n_dev = mesh.shape[AXIS]
+    n_dev = mesh_size(mesh)
     assert x_size % n_dev == 0 and y_size % n_dev == 0
     return _bintt_dist_fn(mesh, x_size, y_size, inverse)(grid)
