@@ -136,3 +136,57 @@ def test_prove_on_rkyv_loaded_sigma(tmp_path, sigma_and_params):
     proof, _ = prover.prove()
     assert Verifier(fx.params, got, pre, fx.instance, proof,
                     rng=np.random.default_rng(5)).verify_snark()
+
+
+# ---------------------------------------------------------------------------
+# Independent oracle cross-check (io/rkyv_oracle.py): a from-scratch port of
+# the reference browser decoder's traversal with hand-computed literal
+# offsets — nothing shared with rkyv_crs's layout machinery.
+# ---------------------------------------------------------------------------
+
+
+def test_oracle_cross_validates_primary_writer(tmp_path, sigma_and_params):
+    from tokamak_zk_evm_tpu.io import rkyv_oracle as ORC
+
+    sigma, params = sigma_and_params
+    path = str(tmp_path / "combined_sigma.rkyv")
+    RK.write_combined_sigma(sigma, params, path, mode="align_desc")
+    with open(path, "rb") as f:
+        buf = f.read()
+    payload = ORC.decode_combined_sigma(buf)
+    sections = ORC.parse_payload(payload)
+    assert len(sections) == 9
+
+    # section 0: G, x, y, delta, eta, lagrange_KL
+    s1 = sigma.sigma_1
+    want0 = b"".join(
+        RK._g1_to_bytes(p)
+        for p in (sigma.G, s1.x, s1.y, s1.delta, s1.eta, sigma.lagrange_KL)
+    )
+    assert sections[0] == want0
+    # flat families
+    assert sections[1] == RK._g1_family_to_bytes(s1.xy_powers)
+    assert sections[2] == RK._g1_family_to_bytes(s1.gamma_inv_o_inst)
+    # nested families flatten row-major
+    m_i = params.l_D - params.l
+    assert len(sections[3]) == m_i * params.s_max * ORC.G1
+    assert sections[3][:ORC.G1] == RK._g1_family_to_bytes(
+        s1.eta_inv_li_o_inter_alpha4_kj)[:ORC.G1]
+    assert len(sections[4]) == (params.m_D - params.l_D) * params.s_max * ORC.G1
+    # section 8: H + 9 sigma_2 points
+    s2 = sigma.sigma_2
+    want8 = b"".join(
+        RK._g2_to_bytes(p)
+        for p in (sigma.H, s2.alpha, s2.alpha2, s2.alpha3, s2.alpha4,
+                  s2.gamma, s2.delta, s2.eta, s2.x, s2.y)
+    )
+    assert sections[8] == want8
+
+
+def test_oracle_rejects_garbage():
+    import pytest as _pytest
+
+    from tokamak_zk_evm_tpu.io import rkyv_oracle as ORC
+
+    with _pytest.raises(ValueError):
+        ORC.decode_combined_sigma(b"not an archive")

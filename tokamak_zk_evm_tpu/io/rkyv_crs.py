@@ -15,13 +15,15 @@ rkyv 0.7 wire format facts this module relies on:
   * out-of-line data (vec contents) precedes the root.
 
 One caveat: the archived structs derive plain `repr(Rust)`, whose field
-ordering is a rustc implementation detail.  We therefore model three layout
-candidates — declaration order (`linear`), stable sort by descending
-alignment (`align_desc`, rustc's documented optimization), and descending
-(align, size) (`align_size_desc`) — and the reader auto-detects by parsing
-under each and validating points against the curve equation (an on-curve
-check over random offsets is a cryptographically strong discriminator).
-For all three candidates the struct sizes coincide (Sigma1 = 440 B,
+ordering is a rustc implementation detail.  The PINNED layout is
+`align_desc` — rustc's actual algorithm (descending alignment, declaration
+order within a class), independently confirmed by io/rkyv_oracle.py (a
+from-scratch port of the reference browser decoder's traversal with
+hand-computed literal offsets; the cross-check test asserts both agree
+byte-for-byte).  `linear` is retained only as a defensive fallback for
+auto-mode; parsed points are validated against the curve equation (an
+on-curve check over random offsets is a cryptographically strong
+discriminator).  Struct sizes coincide across orderings (Sigma1 = 440 B,
 Sigma = 2552 B), so the root position is layout-independent.
 """
 
@@ -76,7 +78,7 @@ _STRUCTS = {
     ],
 }
 
-LAYOUT_MODES = ("align_desc", "linear", "align_size_desc")
+LAYOUT_MODES = ("align_desc", "linear")
 
 
 def _field_size_align(kind: str, mode: str) -> tuple[int, int]:
@@ -112,8 +114,6 @@ def struct_layout(name: str, mode: str) -> StructLayout:
         order = list(range(len(meta)))
     elif mode == "align_desc":
         order = sorted(range(len(meta)), key=lambda i: -meta[i][3])
-    elif mode == "align_size_desc":
-        order = sorted(range(len(meta)), key=lambda i: (-meta[i][3], -meta[i][2]))
     else:
         raise ValueError(f"unknown layout mode {mode}")
     offsets = {}
