@@ -142,3 +142,25 @@ def test_sigma_verify_roundtrip(staged, tmp_path):
     assert got.sigma_1.x == sigma.sigma_1.x and got.sigma_1.y == sigma.sigma_1.y
     for k in art._S2_FIELDS:
         assert getattr(got.sigma_2, k) == getattr(sigma.sigma_2, k), k
+
+
+def test_extract_proof_bundle(tmp_path):
+    import json
+    import zipfile
+
+    from tokamak_zk_evm_tpu.cli import main
+
+    sdir, pdir, vdir = tmp_path / "s", tmp_path / "p", tmp_path / "v"
+    for d, name in ((sdir, "instance.json"), (pdir, "preprocess.json"),
+                    (vdir, "proof.json")):
+        d.mkdir(exist_ok=True)
+        (d / name).write_text(json.dumps({"name": name}))
+    out = tmp_path / "bundle.zip"
+    rc = main([
+        "extract-proof", "--synthesizer", str(sdir), "--preprocess",
+        str(pdir), "--prove", str(vdir), "--output", str(out),
+    ])
+    assert rc == 0
+    with zipfile.ZipFile(out) as z:
+        assert sorted(z.namelist()) == [
+            "instance.json", "preprocess.json", "proof.json"]

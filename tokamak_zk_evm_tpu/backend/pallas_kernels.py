@@ -1210,6 +1210,39 @@ def _msm_wb(n: int, c: int, W: int) -> int:
     return -(-W // steps)
 
 
+# Hardware-validated (c, wb) per padded point count, n >= 2^16.  The Mosaic
+# backend faults the chip for certain (n, c, wb) combinations with no clean
+# shape pattern — observed: (2^17, c=12, wb=22) and (2^17, c=15, wb=6)
+# crash while (2^17, c=10, wb=26), (2^16, c=10, wb=26), (2^20, c=15, wb=6)
+# and (2^22, c=16, wb=2) run clean (scripts/msm_bisect.py, BENCH_r03 fault).
+# Every entry here has been run clean on a real v5e through the oracle in
+# scripts/msm_shape_check.py; sizes below 2^16 use the analytic model
+# (validated wholesale by the small/mid shape sets).
+_MSM_PINNED = {
+    1 << 16: (10, 26),
+    1 << 17: (10, 26),
+    1 << 18: (13, 20),
+    1 << 20: (15, 6),
+    1 << 22: (16, 2),
+    # best-guess entries (not prover-emitted by the bench shapes, not yet
+    # hardware-validated): keep away from the observed-bad region
+    1 << 19: (10, 13),
+    1 << 21: (16, 4),
+    1 << 23: (16, 1),
+}
+
+
+def _msm_config(n: int) -> tuple:
+    """(c, W, wb) for a padded point count."""
+    pinned = _MSM_PINNED.get(n)
+    if pinned is not None:
+        c, wb = pinned
+        return c, -(-255 // c), wb
+    c = _msm_c(n)
+    W = -(-255 // c)
+    return c, W, _msm_wb(n, c, W)
+
+
 def _msm_windows_core(n, wb, c):
     """Jitted MSM core for a padded point count n (pow2): W = ceil(255/c)
     windows of c bits, wb windows per lax.scan step.
@@ -1317,22 +1350,19 @@ def _msm_windows_fn(n, wb, c):
 
 
 @functools.lru_cache(maxsize=None)
-def _msm_full_fn(N, n, wb, c):
-    """The WHOLE per-call MSM device pipeline as ONE jitted function with
-    ONE stacked output: padding, digit extraction, the windowed scan, and
-    the weighted bucket tail.  Through the remote TPU tunnel every eager op
-    and every host pull costs a round trip — the previous eager
-    pad/astype/slice chain plus two separate result pulls made even an
-    N=8 MSM cost ~1.3 s; one dispatch + one pull removes that floor."""
+def _msm_full_fn(n, wb, c):
+    """The MSM device pipeline as ONE jitted function with ONE stacked
+    output: digit extraction, the windowed scan, and the weighted bucket
+    tail.  Through the remote TPU tunnel every eager op and every host pull
+    costs a round trip — the previous eager chain plus two separate result
+    pulls made even an N=8 MSM cost ~1.3 s; one dispatch + one pull removes
+    that floor.  Keyed on the PADDED count n (padding happens eagerly in
+    g1_msm) so every raw N sharing a power-of-two bucket reuses one
+    compiled executable."""
     run = _msm_windows_core(n, wb, c)
 
     def full(scalars, px, py, pinf):
-        xp = jnp.pad(px, ((0, 0), (0, n - N)))
-        yp = jnp.pad(py, ((0, 0), (0, n - N)))
-        infp = jnp.pad(pinf.astype(jnp.uint32), (0, n - N),
-                       constant_values=1)
-        sc = jnp.pad(scalars.astype(jnp.uint32), ((0, 0), (0, n - N)))
-        sX, sY = run(sc, xp, yp, infp)
+        sX, sY = run(scalars, px, py, pinf)
         return jnp.stack([sX, sY])  # [2, W, c, 24]
 
     return jax.jit(full)
@@ -1387,10 +1417,15 @@ def g1_msm(scalars, px, py, pinf):
 
     N = px.shape[1]
     n = max(2, 1 << (N - 1).bit_length())
-    c = _msm_c(n)
-    W = -(-255 // c)
-    wb = _msm_wb(n, c, W)
-    out = _msm_full_fn(N, n, wb, c)(scalars, px, py, pinf)
+    c, W, wb = _msm_config(n)
+    if n != N:
+        px = jnp.pad(px, ((0, 0), (0, n - N)))
+        py = jnp.pad(py, ((0, 0), (0, n - N)))
+        pinf = jnp.pad(pinf.astype(jnp.uint32), (0, n - N),
+                       constant_values=1)
+        scalars = jnp.pad(scalars.astype(jnp.uint32), ((0, 0), (0, n - N)))
+    out = _msm_full_fn(n, wb, c)(
+        scalars.astype(jnp.uint32), px, py, pinf.astype(jnp.uint32))
     both = np.asarray(out)  # ONE host pull for the whole result
     sXh, sYh = both[0], both[1]
     exps, pts = [], []

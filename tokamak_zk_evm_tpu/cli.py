@@ -14,13 +14,16 @@ contract:
 `instance.json`, `permutation.json` — `synthesizer/README.md:26-41`);
 `--library DIR` is a qap-compiler library dir (`subcircuits/library` layout).
 `verify` prints `true`/`false` like the reference verifier (`verify-rust/
-src/main.rs`).  No install step: there is no external runtime to download —
-JAX is the device backend.
+src/main.rs`).  `install` prepares a local workspace (library + optional
+local trusted setup + provenance digests; there is no runtime download —
+JAX is the device backend), `synthesize` replays a tx snapshot directory,
+and `extract-proof` bundles the proof artifacts into one zip.
 """
 
 from __future__ import annotations
 
 import argparse
+import json
 import os
 import sys
 import time
@@ -66,6 +69,74 @@ def cmd_synthesize(args) -> int:
     art.save_permutation(
         res.permutation, os.path.join(args.output, "permutation.json"))
     _log(f"[synthesize] artifacts written to {args.output}")
+    return 0
+
+
+def cmd_install(args) -> int:
+    """Prepare a local runtime workspace — the network-free equivalent of
+    the reference's `--install` (`cli/src/cli.ts:122-131`,
+    `runtime.ts:1046-1120`): materialize the subcircuit library, optionally
+    generate the CRS locally (the reference's `--trusted-setup` mode; the
+    published-archive download path has no counterpart in this offline
+    environment), and record SHA-256 provenance digests."""
+    import hashlib
+
+    ws = args.workspace
+    os.makedirs(ws, exist_ok=True)
+    lib_src = _resolve_library(args)
+    lib_dst = os.path.join(ws, "subcircuit-library")
+    if os.path.abspath(lib_src) != os.path.abspath(lib_dst):
+        import shutil
+
+        shutil.copytree(lib_src, lib_dst, dirs_exist_ok=True)
+    _log(f"[install] subcircuit library at {lib_dst}")
+
+    digests = {}
+    if not args.no_setup:
+        setup_dir = os.path.join(ws, "setup")
+        ns = argparse.Namespace(
+            library=lib_dst, output=setup_dir, fixed_tau=args.fixed_tau,
+            format="both",
+        )
+        rc = cmd_setup(ns)
+        if rc:
+            return rc
+        for name in sorted(os.listdir(setup_dir)):
+            p = os.path.join(setup_dir, name)
+            if os.path.isfile(p):
+                with open(p, "rb") as f:
+                    digests[name] = hashlib.sha256(f.read()).hexdigest()
+    prov = os.path.join(ws, "crs_provenance.json")
+    with open(prov, "w") as f:
+        json.dump({"artifacts": digests}, f, indent=1)
+    _log(f"[install] provenance digests written to {prov}")
+    return 0
+
+
+def cmd_extract_proof(args) -> int:
+    """Bundle the proof artifacts into one zip — the reference's
+    `--extract-proof` (`cli/src/cli.ts:111-121,364-367`): instance.json,
+    preprocess.json, proof.json (+ proof4_test.json when present)."""
+    import zipfile
+
+    required = [
+        (args.synthesizer, "instance.json"),
+        (args.preprocess, "preprocess.json"),
+        (args.prove, "proof.json"),
+    ]
+    optional = [(args.prove, "proof4_test.json")]
+    with zipfile.ZipFile(args.output, "w", zipfile.ZIP_DEFLATED) as z:
+        for d, name in required:
+            p = os.path.join(d, name)
+            if not os.path.exists(p):
+                _log(f"[extract-proof] missing required {p}")
+                return 1
+            z.write(p, name)
+        for d, name in optional:
+            p = os.path.join(d, name)
+            if os.path.exists(p):
+                z.write(p, name)
+    _log(f"[extract-proof] bundle written to {args.output}")
     return 0
 
 
@@ -263,6 +334,26 @@ def build_parser() -> argparse.ArgumentParser:
         description="TPU-native Tokamak zk-SNARK pipeline",
     )
     sub = p.add_subparsers(dest="command", required=True)
+
+    s = sub.add_parser(
+        "install",
+        help="prepare a local runtime workspace (library + optional local "
+             "trusted setup + provenance digests)")
+    s.add_argument("--workspace", required=True)
+    s.add_argument("--library", help="subcircuit library dir (optional when embedded or TZK_SUBCIRCUIT_LIBRARY is set)")
+    s.add_argument("--no-setup", action="store_true",
+                   help="skip CRS generation")
+    s.add_argument("--fixed-tau", action="store_true")
+    s.set_defaults(fn=cmd_install)
+
+    s = sub.add_parser(
+        "extract-proof",
+        help="bundle instance/preprocess/proof JSON into one zip")
+    s.add_argument("--synthesizer", required=True)
+    s.add_argument("--preprocess", required=True)
+    s.add_argument("--prove", required=True)
+    s.add_argument("--output", required=True)
+    s.set_defaults(fn=cmd_extract_proof)
 
     s = sub.add_parser(
         "synthesize",
