@@ -228,6 +228,32 @@ class Phase1Accumulator:
             alpha_x_g1=[[G1.gen] * ax_len for _ in range(N_ALPHA)],
         )
 
+    @staticmethod
+    def from_dusk(params: SetupParams, source) -> "Phase1Accumulator":
+        """Seed phase 1 from a Dusk powers-of-tau transcript
+        (models/dusk_pot.py) instead of the identity state — the
+        reference's `dusk_backed_mpc_setup` flow (`phase1_source.rs`):
+        x := tau, alpha^k := tau^(2nk), so the external ceremony's
+        randomness is the first contribution.  Later contributors apply
+        their updates on top exactly as in the native flow."""
+        base = Phase1Accumulator.initial(params)
+        n_src = max(params.n, params.m_i)
+        assert source.n == n_src, "source sized for a different domain"
+        # x_len = 2*max(n, m_i) - 1 < 2*n_src: no overlap with alpha=tau^2n
+        return Phase1Accumulator(
+            contributor_index=1,
+            x_len=base.x_len,
+            ax_len=base.ax_len,
+            x_g1=source.x_g1_range(1, base.x_len),
+            x_g2=source.x_g2(),
+            alpha_g1=[source.alphax_g1(k + 1, 0) for k in range(N_ALPHA)],
+            alpha_g2=[source.alpha_g2(k + 1) for k in range(N_ALPHA)],
+            alpha_x_g1=[
+                [source.alphax_g1(k + 1, h + 1) for h in range(base.ax_len)]
+                for k in range(N_ALPHA)
+            ],
+        )
+
     # -- hash chain (accumulator.rs:322-345) ----------------------------
     def hash(self) -> bytes:
         h = hashlib.blake2b(digest_size=64)
