@@ -41,4 +41,12 @@ def __getattr__(name):
     )
     if name in ops:
         return getattr(_impl(), name)
+    if name in ("g1_msm_start", "g1_msm_finish"):
+        mod = _impl()
+        if hasattr(mod, name):
+            return getattr(mod, name)
+        # synchronous backend: start computes, finish passes through
+        if name == "g1_msm_start":
+            return mod.g1_msm
+        return lambda h: h
     raise AttributeError(name)

@@ -1403,18 +1403,11 @@ def _weighted_bucket_tail(bX, bY):
     return jnp.stack(sXs).transpose(2, 0, 1), jnp.stack(sYs).transpose(2, 0, 1)
 
 
-def g1_msm(scalars, px, py, pinf):
-    """Full MSM -> jacobian [3, 24] u32 rows (matches native G1Msm).
-
-    Device work: W scanned windows x (argsort + n batched affine adds +
-    bucket halving); the W x c weighted single points are pulled to the host
-    once and combined exactly via the power-of-two Horner in host/curve.py —
-    the same split as the reference, which runs its Fiat-Shamir/"tiny
-    sequential tail" work on CPU.  Window width c adapts to the point count
-    (small MSMs use small bucket grids so the per-level flush adds do not
-    dominate)."""
-    from ..host.curve import G1
-
+def g1_msm_start(scalars, px, py, pinf):
+    """Dispatch the device half of an MSM without blocking: returns a
+    handle for g1_msm_finish.  Splitting dispatch from the host pull lets a
+    prover round enqueue ALL its commitments before the first sync — through
+    the remote TPU tunnel each sync costs a round trip."""
     N = px.shape[1]
     n = max(2, 1 << (N - 1).bit_length())
     c, W, wb = _msm_config(n)
@@ -1426,6 +1419,14 @@ def g1_msm(scalars, px, py, pinf):
         scalars = jnp.pad(scalars.astype(jnp.uint32), ((0, 0), (0, n - N)))
     out = _msm_full_fn(n, wb, c)(
         scalars.astype(jnp.uint32), px, py, pinf.astype(jnp.uint32))
+    return (out, c)
+
+
+def g1_msm_finish(handle):
+    """Pull the windowed singles and run the exact host combine."""
+    from ..host.curve import G1
+
+    out, c = handle
     both = np.asarray(out)  # ONE host pull for the whole result
     sXh, sYh = both[0], both[1]
     exps, pts = [], []
@@ -1444,6 +1445,17 @@ def g1_msm(scalars, px, py, pinf):
     rows[1] = FQ.to_limbs(FQ.to_mont(Y))
     rows[2] = FQ.to_limbs(FQ.to_mont(Z))
     return jnp.asarray(rows)
+
+
+def g1_msm(scalars, px, py, pinf):
+    """Full MSM -> jacobian [3, 24] u32 rows (matches native G1Msm).
+
+    Device work: W scanned windows x (argsort + n batched affine adds +
+    bucket halving); the W x c weighted single points are pulled to the host
+    once and combined exactly via the power-of-two Horner in host/curve.py —
+    the same split as the reference, which runs its Fiat-Shamir/"tiny
+    sequential tail" work on CPU."""
+    return g1_msm_finish(g1_msm_start(scalars, px, py, pinf))
 
 
 @functools.lru_cache(maxsize=4)

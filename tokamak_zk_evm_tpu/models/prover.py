@@ -45,7 +45,10 @@ from ..utils import timing
 # ---------------------------------------------------------------------------
 
 
-def encode_poly(sigma: Sigma, poly: BiPoly, params: SetupParams):
+def encode_poly_start(sigma: Sigma, poly: BiPoly, params: SetupParams):
+    """Dispatch a commitment MSM without blocking (None for zero polys);
+    pair with `msm_mod.msm_finish`.  Rounds enqueue every commitment first
+    and finish them together — one host sync per round."""
     p = poly.optimized()
     if p.x_degree < 0 or p.y_degree < 0:
         return None
@@ -67,7 +70,12 @@ def encode_poly(sigma: Sigma, poly: BiPoly, params: SetupParams):
         gx = px.reshape(LQ, s1.h_max, s1.rs_y)[:, :tx, :ty].reshape(LQ, -1)
         gy = py.reshape(LQ, s1.h_max, s1.rs_y)[:, :tx, :ty].reshape(LQ, -1)
         gi = pinf.reshape(s1.h_max, s1.rs_y)[:tx, :ty].reshape(-1)
-        return msm_mod.msm(scalars, gx, gy, gi)
+        return msm_mod.msm_start(scalars, gx, gy, gi)
+
+
+def encode_poly(sigma: Sigma, poly: BiPoly, params: SetupParams):
+    h = encode_poly_start(sigma, poly, params)
+    return None if h is None else msm_mod.msm_finish(h)
 
 
 def _indexed_msm(points_family, scalars_ints, indices):
@@ -273,6 +281,14 @@ class Prover:
     def _encode(self, poly: BiPoly):
         return encode_poly(self.sigma, poly, self.params)
 
+    def _encode_many(self, *polys):
+        """Commit several polynomials with ONE host sync: dispatch all the
+        MSMs, then finish them in order."""
+        handles = [encode_poly_start(self.sigma, p, self.params)
+                   for p in polys]
+        return [None if h is None else msm_mod.msm_finish(h)
+                for h in handles]
+
     # -- in-round testing-mode checks (reference `--features testing-mode`,
     # prove/src/lib.rs:1473-1546, 1864-1920, 2591-2606) ------------------
     def _test_point(self) -> tuple[int, int]:
@@ -387,10 +403,9 @@ class Prover:
             P.low_degree_y_times_vanishing(mix.rB_Y, s_max)
         BXY = self.bXY + self._term_b_zk
 
-        return Proof0(
-            U=self._encode(UXY), V=self._encode(VXY), W=self._encode(WXY),
-            Q_AX=self._encode(Q_AX), Q_AY=self._encode(Q_AY), B=self._encode(BXY),
-        )
+        U, V, W, QAX, QAY, Bc = self._encode_many(
+            UXY, VXY, WXY, Q_AX, Q_AY, BXY)
+        return Proof0(U=U, V=V, W=W, Q_AX=QAX, Q_AY=QAY, B=Bc)
 
     # -- f, g (lib.rs:1807-1811) ---------------------------------------
     def _f_g(self, thetas):
@@ -521,7 +536,8 @@ class Prover:
             + mul_x_minus_one(d1y).mul_scalar(kappa0)
             + (lagrange_K0 * d2y).mul_scalar(kappa0_sq)
         )
-        return Proof2(Q_CX=self._encode(Q_CX_XY), Q_CY=self._encode(Q_CY_XY))
+        Q_CX, Q_CY = self._encode_many(Q_CX_XY, Q_CY_XY)
+        return Proof2(Q_CX=Q_CX, Q_CY=Q_CY)
 
     # -- round 3 (lib.rs:2272-2354) ------------------------------------
     def prove3(self, chi, zeta) -> Proof3:
@@ -578,8 +594,8 @@ class Prover:
         Pi_AX_XY, Pi_AY_XY, rem_a = pA.div_by_ruffini(chi, zeta)
         if self.testing_mode:
             self._check_ruffini(pA, Pi_AX_XY, Pi_AY_XY, rem_a, chi, zeta, "Pi_A")
-        Pi_AX = self._encode(Pi_AX_XY)
-        Pi_AY = self._encode(Pi_AY_XY)
+        h_pi_ax = encode_poly_start(self.sigma, Pi_AX_XY, self.params)
+        h_pi_ay = encode_poly_start(self.sigma, Pi_AY_XY, self.params)
 
         # --- M, N: R-shift opening quotients (lib.rs:2534-2701)
         RXY = self.rXY + self.t_mi.mul_scalar(mix.rR_X) + self.t_smax.mul_scalar(mix.rR_Y)
@@ -589,7 +605,8 @@ class Prover:
             self._check_ruffini(
                 M_num, M_X_XY, M_Y_XY, rem_m, (w_mi_inv * chi) % R_MOD, zeta, "M"
             )
-        M_X, M_Y = self._encode(M_X_XY), self._encode(M_Y_XY)
+        h_mx = encode_poly_start(self.sigma, M_X_XY, self.params)
+        h_my = encode_poly_start(self.sigma, M_Y_XY, self.params)
         N_num = RXY - proof3.R_omegaX_omegaY_eval
         N_X_XY, N_Y_XY, rem_n = N_num.div_by_ruffini(
             (w_mi_inv * chi) % R_MOD, (w_smax_inv * zeta) % R_MOD
@@ -599,7 +616,8 @@ class Prover:
                 N_num, N_X_XY, N_Y_XY, rem_n, (w_mi_inv * chi) % R_MOD,
                 (w_smax_inv * zeta) % R_MOD, "N",
             )
-        N_X, N_Y = self._encode(N_X_XY), self._encode(N_Y_XY)
+        h_nx = encode_poly_start(self.sigma, N_X_XY, self.params)
+        h_ny = encode_poly_start(self.sigma, N_Y_XY, self.params)
 
         # --- Pi_C: copy-claim opening quotient (lib.rs:2703-3130)
         r_omegaX = self.rXY.scale_coeffs_x(w_mi_inv)
@@ -678,13 +696,21 @@ class Prover:
             self._check_ruffini(
                 LHS_for_copy, Pi_CX_XY, Pi_CY_XY, rem_c, chi, zeta, "Pi_C"
             )
-        Pi_CX, Pi_CY = self._encode(Pi_CX_XY), self._encode(Pi_CY_XY)
+        h_pi_cx = encode_poly_start(self.sigma, Pi_CX_XY, self.params)
+        h_pi_cy = encode_poly_start(self.sigma, Pi_CY_XY, self.params)
 
         # --- Pi_B: binding opening (lib.rs:3137-3181)
         A_eval = self.a_free_X.eval(chi, zeta)
         piB_num = self.a_free_X - A_eval
         piB_XY, _, _ = piB_num.div_by_ruffini(chi, zeta)
-        Pi_B = _g1_mul(self._encode(piB_XY), pow(kappa1, 4, R_MOD))
+        h_pi_b = encode_poly_start(self.sigma, piB_XY, self.params)
+        # one host sync materializes every round-4 commitment
+        fin = (lambda h: None if h is None else msm_mod.msm_finish(h))
+        Pi_AX, Pi_AY = fin(h_pi_ax), fin(h_pi_ay)
+        M_X, M_Y = fin(h_mx), fin(h_my)
+        N_X, N_Y = fin(h_nx), fin(h_ny)
+        Pi_CX, Pi_CY = fin(h_pi_cx), fin(h_pi_cy)
+        Pi_B = _g1_mul(fin(h_pi_b), pow(kappa1, 4, R_MOD))
 
         Pi_X = _g1_add(_g1_add(Pi_AX, Pi_CX), Pi_B)
         Pi_Y = _g1_add(Pi_AY, Pi_CY)

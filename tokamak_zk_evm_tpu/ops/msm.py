@@ -24,13 +24,16 @@ from ..fields import R_MOD
 from . import field as F
 
 
-def msm(scalars_canonical, px, py, pinf):
-    """MSM -> host affine ((x, y) ints) or None for the identity.
+def msm_start(scalars_canonical, px, py, pinf):
+    """Dispatch an MSM without blocking; `msm_finish` materializes the host
+    point.  Enqueueing every commitment of a prover round before the first
+    finish pipelines the device work behind ONE sync per round instead of
+    one per MSM (the remote-TPU tunnel charges a round trip per sync).
 
     With an active mesh context (`parallel.context.use_mesh`) the points are
     padded to a multiple of the mesh size (zero scalars on infinities) and
-    sharded across chips via `parallel.msm_dist`."""
-    from ..host.curve import G1
+    sharded across chips via `parallel.msm_dist` (computed eagerly — the
+    partial combine is its own sync)."""
     from ..parallel import context
 
     mesh = context.get_mesh()
@@ -51,17 +54,30 @@ def msm(scalars_canonical, px, py, pinf):
                 px = jnp.pad(px, ((0, 0), (0, Np - N)))
                 py = jnp.pad(py, ((0, 0), (0, Np - N)))
                 pinf = jnp.pad(pinf, (0, Np - N), constant_values=1)
-            return msm_dist.msm_dist(s, px, py, pinf, mesh)
+            return ("pt", msm_dist.msm_dist(s, px, py, pinf, mesh))
 
-    out = B.g1_msm(
+    return ("h", B.g1_msm_start(
         jnp.asarray(scalars_canonical), jnp.asarray(px), jnp.asarray(py),
         jnp.asarray(pinf),
-    )
-    rows = np.asarray(out)  # [3, 24]
+    ))
+
+
+def msm_finish(handle):
+    from ..host.curve import G1
+
+    kind, payload = handle
+    if kind == "pt":
+        return payload
+    rows = np.asarray(B.g1_msm_finish(payload))  # [3, 24]
     X = int(F.unpack_fq(rows[0].reshape(24, 1))[0])
     Y = int(F.unpack_fq(rows[1].reshape(24, 1))[0])
     Z = int(F.unpack_fq(rows[2].reshape(24, 1))[0])
     return G1.to_affine((X, Y, Z))
+
+
+def msm(scalars_canonical, px, py, pinf):
+    """MSM -> host affine ((x, y) ints) or None for the identity."""
+    return msm_finish(msm_start(scalars_canonical, px, py, pinf))
 
 
 def scalars_from_ints(ints):
