@@ -94,3 +94,26 @@ def test_replay_copy_web_consistent(result):
     assert result.permutation
     for e in result.permutation:
         assert vals[(e.row, e.col)] == vals[(e.X, e.Y)]
+
+
+PRIVATE_STATE = ("/root/reference/packages/frontend/synthesizer/examples/"
+                 "privateState/transferNotes/transferNotes1To1")
+
+
+@pytest.mark.skipif(not os.path.isdir(PRIVATE_STATE),
+                    reason="privateState fixture not present")
+def test_private_state_transfer_notes_replays():
+    """The second shipped workload family: private-state note transfer
+    (`examples/privateState/`), replayed through the same snapshot
+    contract."""
+    from tokamak_zk_evm_tpu.frontend.snapshot import synthesize_from_snapshot
+    from tokamak_zk_evm_tpu.testing.real_fixture import check_r1cs_satisfaction
+
+    res = synthesize_from_snapshot(PRIVATE_STATE, REFERENCE_LIBRARY,
+                                   s_max=256)
+    assert not res.reverted
+    names = [res.infos[p.subcircuit_id].name for p in res.placements]
+    assert names.count("Poseidon") >= 4  # note commitments are in-circuit
+    for p in res.placements:
+        assert check_r1cs_satisfaction(res.library[p.subcircuit_id],
+                                       p.variables)
