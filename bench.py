@@ -147,6 +147,9 @@ def main():
         raise SystemExit(run_ladder())
 
     t_start = time.time()
+    # binding-only CRS families (~1.9 GB at full shape) are released after
+    # the prover's init so prove2's peak fits HBM
+    os.environ.setdefault("TZK_RELEASE_BINDING_FAMILIES", "1")
     _cache = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".cache", "jax")
     os.makedirs(_cache, exist_ok=True)
     os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", _cache)

@@ -79,12 +79,20 @@ def encode_poly(sigma: Sigma, poly: BiPoly, params: SetupParams):
 
 
 def _indexed_msm(points_family, scalars_ints, indices):
-    """MSM of host scalars against gathered rows of a device point family."""
+    """MSM of host scalars against gathered rows of a point family (device
+    arrays, or host numpy after a binding-family release — then the gather
+    happens host-side and only the slice is uploaded)."""
     if not scalars_ints:
         return None
     px, py, pinf = points_family
-    idx = jnp.asarray(np.asarray(indices, dtype=np.int64))
     s = msm_mod.scalars_from_ints(scalars_ints)
+    if isinstance(px, np.ndarray):
+        idxh = np.asarray(indices, dtype=np.int64)
+        return msm_mod.msm(
+            s, jnp.asarray(px[:, idxh]), jnp.asarray(py[:, idxh]),
+            jnp.asarray(pinf[idxh]),
+        )
+    idx = jnp.asarray(np.asarray(indices, dtype=np.int64))
     return msm_mod.msm(
         s, jnp.take(px, idx, axis=1), jnp.take(py, idx, axis=1),
         jnp.take(pinf, idx, axis=0),
@@ -240,6 +248,20 @@ class Prover:
 
         with timing.span("init.binding", "build"):
             self.binding = self._compute_binding()
+
+        if _os.environ.get("TZK_RELEASE_BINDING_FAMILIES", "0") == "1":
+            # the eta/delta O-families are used ONLY by the binding MSMs
+            # above; at the full shape they hold ~1.9 GB of HBM
+            # (delta_inv_li_o_prv alone is 5.6M G1 points) that prove2's
+            # peak working set needs.  Demote them to host numpy — a later
+            # Prover init gathers its binding rows host-side and uploads
+            # only the gathered slice (_indexed_msm handles both forms).
+            s1 = self.sigma.sigma_1
+            for name in ("eta_inv_li_o_inter_alpha4_kj",
+                         "delta_inv_li_o_prv"):
+                fam = getattr(s1, name)
+                if fam is not None and not isinstance(fam[0], np.ndarray):
+                    setattr(s1, name, tuple(np.asarray(a) for a in fam))
 
     # -- binding (lib.rs:1083-1167) ------------------------------------
     def _compute_binding(self) -> Binding:
