@@ -521,15 +521,21 @@ class Prover:
             ),
         )
         p_comb = BiPoly.from_rou_evals(comb)
+        # the (4m_i, 2s_max) eval grids are ~537 MB EACH at the full shape;
+        # dropping them here (not at function exit) is the difference
+        # between prove2 fitting HBM and an OOM
+        del e_r, e_g, e_f, e_rox, e_roxy, e_kl, e_k0, r_g, p1, p2, p3, comb
         self.q2, self.q3 = p_comb.div_by_vanishing_opt(m_i, s_max)
         if self.testing_mode:
             self._check_vanishing_division(
                 p_comb, self.q2, self.q3, m_i, s_max, "p_comb"
             )
+        del p_comb
 
         r_D1 = self.rXY - r_omegaX
         r_D2 = self.rXY - r_omegaX_omegaY
         g_D = g - f
+        del f, g, r_omegaX, r_omegaX_omegaY
 
         def mul_by_linear_x(p, coeffs):
             return p.mul_scalar(coeffs[0]) + p.mul_monomial(1, 0).mul_scalar(coeffs[1])
@@ -549,6 +555,7 @@ class Prover:
             + mul_x_minus_one(d1x).mul_scalar(kappa0)
             + (lagrange_K0 * d2x).mul_scalar(kappa0_sq)
         )
+        del d1x, d2x
         # Q_CY (lib.rs:2225-2267)
         d1y = mul_by_linear_y(r_D1, mix.rB_Y) + g_D.mul_scalar(mix.rR_Y)
         d2y = mul_by_linear_y(r_D2, mix.rB_Y) + g_D.mul_scalar(mix.rR_Y)
