@@ -647,6 +647,15 @@ class Prover:
             )
         h_nx = encode_poly_start(self.sigma, N_X_XY, self.params)
         h_ny = encode_poly_start(self.sigma, N_Y_XY, self.params)
+        # sync batch 1: six pending MSM dispatches hold multi-GB gather
+        # working sets at the full shape — finish them before building the
+        # Pi_C polynomials (which need that HBM)
+        fin = (lambda h: None if h is None else msm_mod.msm_finish(h))
+        Pi_AX, Pi_AY = fin(h_pi_ax), fin(h_pi_ay)
+        M_X, M_Y = fin(h_mx), fin(h_my)
+        N_X, N_Y = fin(h_nx), fin(h_ny)
+        del pA, Pi_AX_XY, Pi_AY_XY, VXY, W_zk, rW_X, rW_Y
+        del M_num, M_X_XY, M_Y_XY, N_num, N_X_XY, N_Y_XY
 
         # --- Pi_C: copy-claim opening quotient (lib.rs:2703-3130)
         r_omegaX = self.rXY.scale_coeffs_x(w_mi_inv)
@@ -725,6 +734,9 @@ class Prover:
             self._check_ruffini(
                 LHS_for_copy, Pi_CX_XY, Pi_CY_XY, rem_c, chi, zeta, "Pi_C"
             )
+        del pC, LHS_zk1, LHS_zk2, LHS_for_copy, r_d1_t9_p10, r_d2_t9_p10
+        del r_D1, r_D2, term5, term6, term10, g_minus_f, R_minus_eval
+        del f, g, r_omegaX, r_omegaX_omegaY
         h_pi_cx = encode_poly_start(self.sigma, Pi_CX_XY, self.params)
         h_pi_cy = encode_poly_start(self.sigma, Pi_CY_XY, self.params)
 
@@ -733,11 +745,7 @@ class Prover:
         piB_num = self.a_free_X - A_eval
         piB_XY, _, _ = piB_num.div_by_ruffini(chi, zeta)
         h_pi_b = encode_poly_start(self.sigma, piB_XY, self.params)
-        # one host sync materializes every round-4 commitment
-        fin = (lambda h: None if h is None else msm_mod.msm_finish(h))
-        Pi_AX, Pi_AY = fin(h_pi_ax), fin(h_pi_ay)
-        M_X, M_Y = fin(h_mx), fin(h_my)
-        N_X, N_Y = fin(h_nx), fin(h_ny)
+        # sync batch 2
         Pi_CX, Pi_CY = fin(h_pi_cx), fin(h_pi_cy)
         Pi_B = _g1_mul(fin(h_pi_b), pow(kappa1, 4, R_MOD))
 
