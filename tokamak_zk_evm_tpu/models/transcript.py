@@ -23,12 +23,22 @@ class RollingKeccakTranscript:
     DST_CHALLENGE = 2
 
     def __init__(self):
+        import os
+
         self.state0 = bytes(32)
         self.state1 = bytes(32)
         self.counter = 0
+        # transcript debug mode: print every Fiat-Shamir absorption and
+        # challenge, mirroring the reference's `transcript-debug` output
+        # (`prove/src/lib.rs:3235-3258`) for cross-implementation diffing
+        self.debug = os.environ.get("TZK_TRANSCRIPT_DEBUG", "0") == "1"
 
     def _update(self, value: bytes):
         assert len(value) <= 32
+        if self.debug:
+            import sys
+
+            print(f"[transcript] absorb {value.hex()}", file=sys.stderr)
         buf = bytearray(100)
         buf[3] = self.DST_0
         buf[4:36] = self.state0
@@ -52,7 +62,13 @@ class RollingKeccakTranscript:
         raw = bytearray(self._challenge_raw())
         raw[0] &= 0x1F  # FR_MASK: value < 2^253 < r, no further reduction
         value = int.from_bytes(bytes(raw), "big")
-        return value if value != 0 else 1
+        value = value if value != 0 else 1
+        if self.debug:
+            import sys
+
+            print(f"[transcript] challenge[{self.counter - 1}] = {value:#x}",
+                  file=sys.stderr)
+        return value
 
     def commit_fr(self, x: int):
         self._update((x % R_MOD).to_bytes(32, "big"))
