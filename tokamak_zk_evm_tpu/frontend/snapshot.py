@@ -17,9 +17,10 @@ secure-trie walker replace `tokamak-l2js`'s
 `Synthesizer.run_tx` (frontend/synthesizer.py).
 
 Documented simplifications:
-  * the sender address derives as keccak256(edwards_pubkey)[12:]
-    (tokamak-l2js `fromEdwardsToAddress`; the jubjub point algebra is not
-    re-validated here);
+  * the sender address derives as the low 160 bits of Poseidon255(x, y)
+    over the decompressed (even-x) jubjub public key — see
+    `sender_address_from_pubkey`, matched against the shipped
+    L2StateChannel fixture;
   * the EdDSA transaction signature is not verified and no EdDsaVerify
     placement is emitted (the shipped subcircuit is exercised by the
     fixture layer instead).

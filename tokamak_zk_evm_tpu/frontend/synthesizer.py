@@ -231,6 +231,15 @@ class OutOfPlacements(SynthesisError):
     pass
 
 
+class ResourceCap(SynthesisError):
+    """Synthesis resource limits (step budget, memory cap, placement caps).
+
+    Unlike in-EVM exceptional halts these abort the whole synthesis even when
+    raised inside a child call frame — they signal that the circuit budget,
+    not the replayed contract, failed."""
+    pass
+
+
 @dataclass
 class AccountState:
     """One account in the replayed world state (code + storage + balance)."""
@@ -526,6 +535,12 @@ class Synthesizer:
 
     def _restore(self, snap):
         storages, balances, writes, n_pub = snap
+        # accounts first touched inside the reverted frame (lazily created by
+        # _account) must vanish entirely — otherwise a reverted CALL leaves
+        # the receiver's credited value/storage visible to the parent
+        # (EVM journaling; ADVICE r04 medium)
+        for a in [a for a in self.world if a not in storages]:
+            del self.world[a]
         for a, st in storages.items():
             self.world[a].storage = st
         for a, b in balances.items():
@@ -554,7 +569,7 @@ class Synthesizer:
 
         def mem_extend(end):
             if end > self.MEM_CAP:
-                raise SynthesisError(f"memory expansion beyond cap: {end}")
+                raise ResourceCap(f"memory expansion beyond cap: {end}")
             if end > len(mem):
                 mem.extend(b"\x00" * (-(-end // 32) * 32 - len(mem)))
 
@@ -581,7 +596,7 @@ class Synthesizer:
         while pc < len(code):
             self._steps_left -= 1
             if self._steps_left < 0:
-                raise SynthesisError("step budget exceeded")
+                raise ResourceCap("step budget exceeded")
             op = code[pc]
             name = OPCODES.get(op)
             if name is None:
@@ -825,8 +840,13 @@ class Synthesizer:
                     if value:
                         if sender.balance < value:
                             raise SynthesisError("insufficient balance")
-                        sender.balance -= value
-                        self._account(to).balance += value
+                        if name != "CALLCODE":
+                            # CALLCODE's endowment moves caller->caller (the
+                            # code runs in the caller's own context), so the
+                            # net transfer is a no-op; only the sufficiency
+                            # check above applies (ADVICE r04)
+                            sender.balance -= value
+                            self._account(to).balance += value
                     child = _Msg(
                         caller=(msg.caller if name == "DELEGATECALL"
                                 else msg.address),
@@ -843,7 +863,17 @@ class Synthesizer:
                     self.step_log.append(
                         f"{name} -> {to:#x} ({len(calldata)}B)"
                     )
-                    success, ret, rsrc = self._exec_frame(child)
+                    try:
+                        success, ret, rsrc = self._exec_frame(child)
+                    except ResourceCap:
+                        raise  # circuit budget, not contract failure
+                    except SynthesisError as e:
+                        # exceptional halt inside the child (bad jump, stack
+                        # underflow, invalid opcode, SSTORE-in-static, ...)
+                        # surfaces as success=0 to the parent, mirroring EVM
+                        # frame-failure semantics (ADVICE r04)
+                        self.step_log.append(f"child frame halted: {e}")
+                        success, ret, rsrc = False, b"", {}
                     if not success:
                         self._restore(snap)
                 last_ret, last_retsrc = ret, rsrc

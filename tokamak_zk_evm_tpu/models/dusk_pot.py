@@ -258,11 +258,18 @@ def read_dusk_pot(path: str, n: int, expected_sha256: str | None = PINNED_SHA256
     fixtures ({'g1_len', 'g2_len'})."""
     import numpy as np
 
-    if rng is None:
-        rng = np.random.default_rng(0xD05C)
     with open(path, "rb") as f:
         data = f.read()
     digest = hashlib.sha256(data).hexdigest()
+    if rng is None:
+        # Fiat-Shamir-style batching coefficients: derived from the file
+        # contents, so an adversarial transcript cannot be crafted against a
+        # predictable linear combination (ADVICE r04; matters when callers
+        # skip the SHA-256 pin via expected_sha256=None)
+        seed = int.from_bytes(
+            hashlib.sha256(b"tzk-dusk-ratio" + bytes.fromhex(digest)).digest(),
+            "little")
+        rng = np.random.default_rng(seed)
     if expected_sha256 is not None and digest != expected_sha256:
         raise DuskPotError(
             f"Dusk raw PoT SHA-256 mismatch: expected {expected_sha256}, "
