@@ -52,33 +52,36 @@ def main():
     rng = np.random.default_rng(3)
     idx = jnp.asarray(rng.integers(0, n, (m,), dtype=np.int32))
 
-    src48 = jnp.asarray(rng.integers(0, 1 << 16, (48, n), dtype=np.uint32))
-    timeit("g_48xn", jax.jit(lambda: jnp.take(src48, idx, axis=1)))
+    ga1 = jax.jit(lambda s, i: jnp.take(s, i, axis=1))
+    ga0 = jax.jit(lambda s, i: jnp.take(s, i, axis=0))
 
-    src24 = jnp.asarray(rng.integers(0, 1 << 32 - 1, (24, n), dtype=np.uint32))
-    timeit("g_24xn", jax.jit(lambda: jnp.take(src24, idx, axis=1)))
+    src48 = jnp.asarray(rng.integers(0, 1 << 16, (48, n), dtype=np.uint32))
+    timeit("g_48xn", lambda: ga1(src48, idx))
+
+    src24 = jnp.asarray(rng.integers(0, 1 << 31, (24, n), dtype=np.uint32))
+    timeit("g_24xn", lambda: ga1(src24, idx))
 
     srcn48 = jnp.asarray(rng.integers(0, 1 << 16, (n, 48), dtype=np.uint32))
-    timeit("g_nx48", jax.jit(lambda: jnp.take(srcn48, idx, axis=0)))
+    timeit("g_nx48", lambda: ga0(srcn48, idx))
 
     srcn24 = jnp.asarray(rng.integers(0, 1 << 16, (n, 24), dtype=np.uint32))
-    timeit("g_nx24", jax.jit(lambda: jnp.take(srcn24, idx, axis=0)))
+    timeit("g_nx24", lambda: ga0(srcn24, idx))
 
     srcn128 = jnp.asarray(rng.integers(0, 1 << 16, (n, 128), dtype=np.uint32))
-    timeit("g_nx128", jax.jit(lambda: jnp.take(srcn128, idx, axis=0)))
+    timeit("g_nx128", lambda: ga0(srcn128, idx))
 
     NB = 131072
     upd = n  # one level's worth of scattered columns
     keys = jnp.asarray(rng.integers(0, NB, (upd,), dtype=np.int32))
+    sc1 = jax.jit(lambda k, v: jnp.zeros((48, NB), jnp.uint32).at[:, k].set(v))
+    sc2 = jax.jit(lambda k, v: jnp.zeros((24, NB), jnp.uint32).at[:, k].set(v))
+    sc3 = jax.jit(lambda k, v: jnp.zeros((NB, 48), jnp.uint32).at[k].set(v))
     v48 = jnp.asarray(rng.integers(0, 1 << 16, (48, upd), dtype=np.uint32))
-    timeit("s_48", jax.jit(
-        lambda: jnp.zeros((48, NB), jnp.uint32).at[:, keys].set(v48)))
+    timeit("s_48", lambda: sc1(keys, v48))
     v24 = v48[:24]
-    timeit("s_24", jax.jit(
-        lambda: jnp.zeros((24, NB), jnp.uint32).at[:, keys].set(v24)))
+    timeit("s_24", lambda: sc2(keys, v24))
     vr = jnp.asarray(rng.integers(0, 1 << 16, (upd, 48), dtype=np.uint32))
-    timeit("s_rows", jax.jit(
-        lambda: jnp.zeros((NB, 48), jnp.uint32).at[keys].set(vr)))
+    timeit("s_rows", lambda: sc3(keys, vr))
 
 
 if __name__ == "__main__":

@@ -1169,6 +1169,272 @@ def g1_aff_add_batch(p1, p2):
     return _from_blocks(ox, B), _from_blocks(oy, B)
 
 
+# ---------------------------------------------------------------------------
+# PACKED fused MSM pipeline
+#
+# Inside the MSM, Fq coordinates are PACKED: 12 u32 rows with limb 2i in
+# bits 0..15 and limb 2i+1 in bits 16..31.  Packing halves every gather,
+# scatter and inter-kernel HBM pass — the phase profile of the 2^22 MSM
+# (scripts/msm_phase_profile.py) attributes ~75% of its wall-clock to
+# exactly those moves.  Kernels unpack to 16-bit limbs on entry and repack
+# on exit (two shift/mask ops per limb pair — noise next to the ~5k-op
+# CIOS multiplies).
+#
+# Point adds in the merge tree / flush / bucket tail are INCOMPLETE affine
+# adds: the only special case handled is an operand at infinity ((0, 0)).
+# Doubling and cancellation lanes cannot occur there: every operand is a
+# partial sum over a DISTINCT subset of the MSM's input points, so
+# P1 == +-P2 would exhibit a nontrivial linear relation among the inputs —
+# for CRS points (powers tau^i G) that is precisely what the discrete logs
+# make unreachable.  (ICICLE's bucket accumulation makes the same
+# assumption, msm.cu bucket kernels.)
+#
+# The batched add is TWO fused kernels around one small recursive
+# inversion instead of the unpacked path's ~10:
+#   fwd: denominators + K=16-group Montgomery prefix products (1 mul/lane)
+#   [recursive _batch_inv_nz on the K-group totals, B/16 lanes]
+#   bwd: walk-back inverses + lambda/x3/y3 + the merge-select, fused
+#        (5 muls/lane)
+# ---------------------------------------------------------------------------
+
+FQ_P = FQ_L // 2  # 12 packed rows per Fq element
+
+_PK_K = 16  # prefix-group length (totals array = B/16)
+_PK_RB = 8  # sublane block: CIOS shapes are [8, 128] = the native VPU tile
+
+
+def pack_fq_rows(a):
+    """Unpacked [24, ...] u32 limb rows -> packed [12, ...]."""
+    return a[0::2] | (a[1::2] << jnp.uint32(16))
+
+
+def unpack_fq_rows(p):
+    """Packed [12, ...] -> unpacked [24, ...]."""
+    lo = p & jnp.uint32(0xFFFF)
+    hi = p >> jnp.uint32(16)
+    return jnp.stack([lo, hi], axis=1).reshape((FQ_L,) + p.shape[1:])
+
+
+def _k_unpack(ref, k):
+    """Packed kernel ref row-block k -> 24-limb list."""
+    out = []
+    for i in range(FQ_P):
+        v = ref[i, k]
+        out.append(v & _M16)
+        out.append(v >> 16)
+    return out
+
+
+def _k_pack(limbs):
+    return [limbs[2 * i] | (limbs[2 * i + 1] << 16) for i in range(FQ_P)]
+
+
+def _k_iszero2(xref, yref, k):
+    z = xref[0, k] == 0
+    for i in range(1, FQ_P):
+        z = z & (xref[i, k] == 0)
+    for i in range(FQ_P):
+        z = z & (yref[i, k] == 0)
+    return z
+
+
+def _k_den(x1, y1, x2, y2, k):
+    """Shared fwd/bwd denominator: dx, or Montgomery one on bypass lanes."""
+    X1 = _k_unpack(x1, k)
+    X2 = _k_unpack(x2, k)
+    inf1 = _k_iszero2(x1, y1, k)
+    inf2 = _k_iszero2(x2, y2, k)
+    dx = _subm(X2, X1, _FQ_MOD)
+    byp = inf1 | inf2
+    d = [jnp.where(byp, jnp.uint32(_FQ_ONE[i]), dx[i]) for i in range(FQ_L)]
+    return d, X1, X2, inf1, inf2
+
+
+@functools.lru_cache(maxsize=None)
+def _pk_fwd_fn(r_total):
+    """Fused denominators + K-group prefix products, packed IO.
+
+    Inputs x1, y1, x2, y2: [12, K, r, 128] packed; output P: same shape,
+    P[:, k] = d[0] * ... * d[k] per (r, lane) group."""
+    mod, n0 = _FQ_MOD, _FQ_N0
+    K = _PK_K
+
+    def kernel(x1, y1, x2, y2, op):
+        d, _, _, _, _ = _k_den(x1, y1, x2, y2, 0)
+        packed = _k_pack(d)
+        for i in range(FQ_P):
+            op[i, 0] = packed[i]
+
+        def body(k, acc):
+            acc = list(acc)
+            d, _, _, _, _ = _k_den(x1, y1, x2, y2, k)
+            acc = _mulm(acc, d, mod, n0)
+            packed = _k_pack(acc)
+            for i in range(FQ_P):
+                op[i, k] = packed[i]
+            return tuple(acc)
+
+        jax.lax.fori_loop(1, K, body, tuple(d))
+
+    rb = min(_PK_RB, r_total)
+    blk = pl.BlockSpec((FQ_P, K, rb, LANES), lambda i: (0, 0, i, 0),
+                       memory_space=pltpu.VMEM)
+    fn = pl.pallas_call(
+        kernel,
+        grid=(r_total // rb,),
+        in_specs=[blk] * 4,
+        out_specs=blk,
+        out_shape=jax.ShapeDtypeStruct((FQ_P, K, r_total, LANES), jnp.uint32),
+        interpret=_INTERPRET,
+    )
+    return jax.jit(fn)
+
+
+@functools.lru_cache(maxsize=None)
+def _pk_bwd_fn(r_total, has_mask):
+    """Fused walk-back + incomplete-add completion + merge-select.
+
+    Per group the running suffix product t starts from the inverted group
+    total; each k (descending) recovers the lane inverse as P[k-1] * t,
+    completes the affine add (lambda, x3, y3 — 5 CIOS muls total), and
+    writes either the sum or the untouched right operand per the mask."""
+    mod, n0 = _FQ_MOD, _FQ_N0
+    K = _PK_K
+
+    def kernel(*refs):
+        if has_mask:
+            x1, y1, x2, y2, p_ref, tinv, mask, ox, oy = refs
+        else:
+            x1, y1, x2, y2, p_ref, tinv, ox, oy = refs
+            mask = None
+
+        t0 = [tinv[i] for i in range(FQ_L)]
+
+        def body(j, t):
+            t = list(t)
+            k = K - 1 - j
+            d, X1, X2, inf1, inf2 = _k_den(x1, y1, x2, y2, k)
+            Y1 = _k_unpack(y1, k)
+            Y2 = _k_unpack(y2, k)
+            km1 = jnp.maximum(k - 1, 0)
+            pk = _k_unpack(p_ref, km1)
+            invk = _mulm(pk, t, mod, n0)
+            first = k == 0
+            inv = [jnp.where(first, t[i], invk[i]) for i in range(FQ_L)]
+            tn = _mulm(t, d, mod, n0)
+            dy = _subm(Y2, Y1, mod)
+            lam = _mulm(dy, inv, mod, n0)
+            lam2 = _mulm(lam, lam, mod, n0)
+            x3 = _subm(_subm(lam2, X1, mod), X2, mod)
+            y3 = _subm(_mulm(lam, _subm(X1, x3, mod), mod, n0), Y1, mod)
+
+            def sel(cond, a, b):
+                return [jnp.where(cond, a[i], b[i]) for i in range(FQ_L)]
+
+            outx = sel(inf1, X2, sel(inf2, X1, x3))
+            outy = sel(inf1, Y2, sel(inf2, Y1, y3))
+            if mask is not None:
+                m = mask[k] != 0
+                outx = sel(m, outx, X2)
+                outy = sel(m, outy, Y2)
+            px = _k_pack(outx)
+            py = _k_pack(outy)
+            for i in range(FQ_P):
+                ox[i, k] = px[i]
+                oy[i, k] = py[i]
+            return tuple(tn)
+
+        jax.lax.fori_loop(0, K, body, tuple(t0))
+
+    rb = min(_PK_RB, r_total)
+    blk = pl.BlockSpec((FQ_P, K, rb, LANES), lambda i: (0, 0, i, 0),
+                       memory_space=pltpu.VMEM)
+    tblk = pl.BlockSpec((FQ_L, rb, LANES), lambda i: (0, i, 0),
+                        memory_space=pltpu.VMEM)
+    mblk = pl.BlockSpec((K, rb, LANES), lambda i: (0, i, 0),
+                        memory_space=pltpu.VMEM)
+    in_specs = [blk] * 5 + [tblk] + ([mblk] if has_mask else [])
+    fn = pl.pallas_call(
+        kernel,
+        grid=(r_total // rb,),
+        in_specs=in_specs,
+        out_specs=[blk] * 2,
+        out_shape=[
+            jax.ShapeDtypeStruct((FQ_P, K, r_total, LANES), jnp.uint32)
+        ] * 2,
+        interpret=_INTERPRET,
+    )
+    return jax.jit(fn)
+
+
+def aff_add_packed(p1, p2, mask=None):
+    """Batched incomplete affine add on packed coords ([12, B] each).
+
+    mask (optional [B] u32): lanes with mask == 0 pass p2 through unchanged
+    (the merge tree's not-my-segment lanes) — fusing the select into the
+    kernel saves a full-width XLA where-pass per level."""
+    x1, y1 = p1
+    x2, y2 = p2
+    B = x1.shape[1]
+    K = _PK_K
+    r = -(-B // (K * LANES))
+    r = -(-r // _PK_RB) * _PK_RB if r > _PK_RB else r
+    Bp = K * r * LANES
+
+    def pad4(a):
+        if Bp != B:
+            a = jnp.pad(a, ((0, 0), (0, Bp - B)))
+        return a.reshape(FQ_P, K, r, LANES)
+
+    x1b, y1b, x2b, y2b = pad4(x1), pad4(y1), pad4(x2), pad4(y2)
+    P = _pk_fwd_fn(r)(x1b, y1b, x2b, y2b)
+    tot = unpack_fq_rows(P[:, K - 1]).reshape(FQ_L, r * LANES)
+    tinv = _batch_inv_nz("fq", tot).reshape(FQ_L, r, LANES)
+    if mask is not None:
+        mb = mask
+        if Bp != B:
+            mb = jnp.pad(mb, (0, Bp - B))
+        mb = mb.reshape(K, r, LANES)
+        ox, oy = _pk_bwd_fn(r, True)(x1b, y1b, x2b, y2b, P, tinv, mb)
+    else:
+        ox, oy = _pk_bwd_fn(r, False)(x1b, y1b, x2b, y2b, P, tinv)
+    return (
+        ox.reshape(FQ_P, Bp)[:, :B],
+        oy.reshape(FQ_P, Bp)[:, :B],
+    )
+
+
+def _aff_tree_sum_last_pk(X, Y):
+    """Packed variant of _aff_tree_sum_last: [12, W, m] -> [12, W]."""
+    L, W, m = X.shape
+    while m > 1:
+        h = m // 2
+        a1 = tuple(v[:, :, :h].reshape(L, W * h) for v in (X, Y))
+        a2 = tuple(v[:, :, h:].reshape(L, W * h) for v in (X, Y))
+        X, Y = (v.reshape(L, W, h) for v in aff_add_packed(a1, a2))
+        m = h
+    return X[:, :, 0], Y[:, :, 0]
+
+
+def _weighted_bucket_tail_pk(bX, bY):
+    """Packed variant of _weighted_bucket_tail: [12, W, NB] affine ->
+    per-window per-level singles (sX, sY) each [W, NLEV, 12]."""
+    L, W, nb = bX.shape
+    sXs, sYs = [], []
+    while nb > 1:
+        ev = (bX[:, :, 0::2], bY[:, :, 0::2])
+        od = (bX[:, :, 1::2], bY[:, :, 1::2])
+        sX, sY = _aff_tree_sum_last_pk(*od)
+        sXs.append(sX)
+        sYs.append(sY)
+        h = nb // 2
+        a1 = tuple(v.reshape(L, W * h) for v in ev)
+        a2 = tuple(v.reshape(L, W * h) for v in od)
+        bX, bY = (v.reshape(L, W, h) for v in aff_add_packed(a1, a2))
+        nb = h
+    return jnp.stack(sXs).transpose(2, 0, 1), jnp.stack(sYs).transpose(2, 0, 1)
+
+
 def _digits_all(sc, c):
     """All ceil(255/c) c-bit windows of [16, n] canonical 16-bit scalar limbs
     (c <= 16, so a digit spans at most two limbs)."""
@@ -1344,6 +1610,88 @@ def _msm_windows_core(n, wb, c):
     return run
 
 
+def _msm_windows_core_packed(n, wb, c):
+    """Packed-pipeline MSM core: same sorted merge-tree structure as
+    _msm_windows_core (see its docstring for the algorithm) but with packed
+    coordinates, the fused 2-kernel incomplete add, and the merge-select
+    folded into the add kernel.  Returns (sX, sY) each [W_padded, c, 12]
+    PACKED affine singles."""
+    NB = 1 << c
+    br = jnp.asarray(_bitrev_idx(n))
+
+    def _halves(a, wb_, m):
+        h = m // 2
+        if wb_ == 1:
+            return a[:, :h], a[:, h:]
+        lefts = jnp.concatenate(
+            [a[:, w * m: w * m + h] for w in range(wb_)], axis=1
+        )
+        rights = jnp.concatenate(
+            [a[:, w * m + h: (w + 1) * m] for w in range(wb_)], axis=1
+        )
+        return lefts, rights
+
+    def step_body(carry, digits):
+        xp, yp = carry  # packed [12, n] shared source points
+        order = jnp.argsort(digits, axis=1)        # [wb, n]
+        order = jnp.take(order, br, axis=1)        # sorted, bit-reversed
+        key = jnp.take_along_axis(digits, order, axis=1)  # [wb, n]
+        src = jnp.concatenate([xp, yp], axis=0)    # [24, n] packed
+        g = jnp.take(src, order.reshape(-1), axis=1)  # [24, wb*n]
+        X, Y = g[:FQ_P], g[FQ_P:]
+        dead = (key == jnp.uint32(0)).reshape(1, wb * n)
+        X = jnp.where(dead, jnp.uint32(0), X)  # digit 0 -> (0,0) = infinity
+        Y = jnp.where(dead, jnp.uint32(0), Y)
+
+        woff = (jnp.arange(wb, dtype=jnp.uint32) * jnp.uint32(NB))[:, None]
+        zeroNB = jnp.zeros((FQ_P, wb * NB), jnp.uint32)
+        bX, bY = zeroNB, zeroNB
+
+        def flush_and_add(acc, lk, pX, pY):
+            flatk = (lk + woff).reshape(-1)
+            row = tuple(
+                jnp.zeros((FQ_P, wb * NB), jnp.uint32).at[:, flatk].set(p)
+                for p in (pX, pY)
+            )
+            return aff_add_packed(acc, row)
+
+        m = n
+        while m > 1:
+            h = m // 2
+            kl, kr = key[:, :h], key[:, h:]
+            lX, rX = _halves(X, wb, m)
+            lY, rY = _halves(Y, wb, m)
+            same2 = kl == kr  # [wb, h]
+            X, Y = aff_add_packed(
+                (lX, lY), (rX, rY),
+                mask=same2.reshape(wb * h).astype(jnp.uint32),
+            )
+            lk = jnp.where(same2, jnp.uint32(0), kl)  # merged -> bucket 0
+            bX, bY = flush_and_add((bX, bY), lk, lX, lY)
+            key = kr
+            m = h
+        bX, bY = flush_and_add((bX, bY), key, X, Y)
+        return carry, (bX, bY)
+
+    def run(scalars, xp, yp, infp):
+        digits = _digits_all(scalars, c)  # [W, n]
+        W = digits.shape[0]
+        key_all = jnp.where(infp[None, :].astype(bool), jnp.uint32(0), digits)
+        steps = -(-W // wb)
+        if steps * wb != W:
+            key_all = jnp.pad(key_all, ((0, steps * wb - W), (0, 0)))
+        ks = key_all.reshape(steps, wb, n)
+        _, (bXs, bYs) = jax.lax.scan(step_body, (xp, yp), ks)
+        bX = jnp.moveaxis(bXs, 1, 0).reshape(FQ_P, steps * wb, NB)
+        bY = jnp.moveaxis(bYs, 1, 0).reshape(FQ_P, steps * wb, NB)
+        return _weighted_bucket_tail_pk(bX, bY)
+
+    return run
+
+
+_PACKED_MSM = os.environ.get("TZK_MSM_PACKED", "1") == "1"
+
+
 @functools.lru_cache(maxsize=None)
 def _msm_windows_fn(n, wb, c):
     return jax.jit(_msm_windows_core(n, wb, c))
@@ -1358,7 +1706,25 @@ def _msm_full_fn(n, wb, c):
     pulls made even an N=8 MSM cost ~1.3 s; one dispatch + one pull removes
     that floor.  Keyed on the PADDED count n (padding happens eagerly in
     g1_msm) so every raw N sharing a power-of-two bucket reuses one
-    compiled executable."""
+    compiled executable.
+
+    Packed variant (default): points are packed to [12, n] on device inside
+    the jit, the whole pipeline runs packed, and the stacked output is
+    [2, W, c, 12] packed singles."""
+    if _PACKED_MSM:
+        run = _msm_windows_core_packed(n, wb, c)
+
+        def full(scalars, px, py, pinf):
+            xp = pack_fq_rows(px)
+            yp = pack_fq_rows(py)
+            dead = pinf[None, :].astype(bool)
+            xp = jnp.where(dead, jnp.uint32(0), xp)
+            yp = jnp.where(dead, jnp.uint32(0), yp)
+            sX, sY = run(scalars, xp, yp, pinf)
+            return jnp.stack([sX, sY])  # [2, W, c, 12] packed
+
+        return jax.jit(full)
+
     run = _msm_windows_core(n, wb, c)
 
     def full(scalars, px, py, pinf):
@@ -1429,6 +1795,12 @@ def g1_msm_finish(handle):
     out, c = handle
     both = np.asarray(out)  # ONE host pull for the whole result
     sXh, sYh = both[0], both[1]
+    if sXh.shape[-1] == FQ_P:  # packed singles -> unpack on host
+        def _unpk(a):
+            lo = a & 0xFFFF
+            hi = a >> 16
+            return np.stack([lo, hi], axis=-1).reshape(a.shape[:-1] + (FQ_L,))
+        sXh, sYh = _unpk(sXh), _unpk(sYh)
     exps, pts = [], []
     for wi in range(sXh.shape[0]):  # includes padded windows (all-infinity)
         for lev in range(sXh.shape[1]):

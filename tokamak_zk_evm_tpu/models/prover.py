@@ -373,6 +373,8 @@ class Prover:
         (lib.rs:2591-2606)."""
         import sys
 
+        if not isinstance(rem, int):  # lazy device remainder -> host int
+            rem = int(F.unpack_fr(np.asarray(rem).reshape(F.FR_L, 1))[0])
         if rem % R_MOD != 0:
             raise AssertionError(f"testing-mode: {tag} ruffini remainder != 0")
         xe, ye = self._test_point()
@@ -572,15 +574,19 @@ class Prover:
     def prove3(self, chi, zeta) -> Proof3:
         sp, mix = self.params, self.mixer
         VXY = self.vXY + self.t_n.mul_scalar(mix.rV_X) + self.t_smax.mul_scalar(mix.rV_Y)
-        V_eval = VXY.eval(chi, zeta)
-
         RXY = self.rXY + self.t_mi.mul_scalar(mix.rR_X) + self.t_smax.mul_scalar(mix.rR_Y)
-        R_eval = RXY.eval(chi, zeta)
         w_mi_inv = pow(fr_root_of_unity(sp.m_i), -1, R_MOD)
         w_smax_inv = pow(fr_root_of_unity(sp.s_max), -1, R_MOD)
         R_omegaX = RXY.scale_coeffs_x(w_mi_inv)
-        R_omegaX_eval = R_omegaX.eval(chi, zeta)
-        R_omegaX_omegaY_eval = R_omegaX.scale_coeffs_y(w_smax_inv).eval(chi, zeta)
+        # all four opening scalars in ONE host pull (each pull is a tunnel
+        # round trip; the reference computes them serially on CPU,
+        # lib.rs:2286-2350)
+        V_eval, R_eval, R_omegaX_eval, R_omegaX_omegaY_eval = P.eval_many([
+            (VXY, chi, zeta),
+            (RXY, chi, zeta),
+            (R_omegaX, chi, zeta),
+            (R_omegaX.scale_coeffs_y(w_smax_inv), chi, zeta),
+        ])
         return Proof3(
             V_eval=V_eval, R_eval=R_eval, R_omegaX_eval=R_omegaX_eval,
             R_omegaX_omegaY_eval=R_omegaX_omegaY_eval,
@@ -596,10 +602,26 @@ class Prover:
         w_smax_inv = pow(w_smax, -1, R_MOD)
         minus_one = (-1) % R_MOD
 
+        # --- all opening scalars for the round in ONE host pull ---------
+        r_omegaX = self.rXY.scale_coeffs_x(w_mi_inv)
+        r_omegaX_omegaY = r_omegaX.scale_coeffs_y(w_smax_inv)
+        lagrange_K0 = W.lagrange_k0_xy(m_i)
+        (small_v_eval, A_eval, lagrange_K0_eval, small_r_eval,
+         small_r_omegaX_eval, small_r_omegaX_omegaY_eval) = P.eval_many([
+            (self.vXY, chi, zeta),
+            (self.a_free_X, chi, zeta),
+            (lagrange_K0, chi, zeta),
+            (self.rXY, chi, zeta),
+            (r_omegaX, chi, zeta),
+            (r_omegaX_omegaY, chi, zeta),
+        ])
+        # r_D1/r_D2 are linear in the polys above (lib.rs:2936-2951)
+        r_D1_eval = (small_r_eval - small_r_omegaX_eval) % R_MOD
+        r_D2_eval = (small_r_eval - small_r_omegaX_omegaY_eval) % R_MOD
+
         # --- Pi_A: arithmetic-claim opening quotient (lib.rs:2383-2532)
         t_n_eval = (pow(chi, n, R_MOD) - 1) % R_MOD
         t_smax_eval = (pow(zeta, s_max, R_MOD) - 1) % R_MOD
-        small_v_eval = self.vXY.eval(chi, zeta)
         rW_X = BiPoly.from_ints([[c % R_MOD] for c in mix.rW_X])
         rW_Y = BiPoly.from_ints([[c % R_MOD for c in mix.rW_Y]])
         W_zk = self._w_zk if self._w_zk is not None else (
@@ -620,7 +642,7 @@ class Prover:
             + rW_Y.mul_scalar(t_smax_eval)
             + W_zk.mul_scalar(minus_one)
         )
-        Pi_AX_XY, Pi_AY_XY, rem_a = pA.div_by_ruffini(chi, zeta)
+        Pi_AX_XY, Pi_AY_XY, rem_a = pA.div_by_ruffini(chi, zeta, lazy_rem=True)
         if self.testing_mode:
             self._check_ruffini(pA, Pi_AX_XY, Pi_AY_XY, rem_a, chi, zeta, "Pi_A")
         h_pi_ax = encode_poly_start(self.sigma, Pi_AX_XY, self.params)
@@ -629,7 +651,8 @@ class Prover:
         # --- M, N: R-shift opening quotients (lib.rs:2534-2701)
         RXY = self.rXY + self.t_mi.mul_scalar(mix.rR_X) + self.t_smax.mul_scalar(mix.rR_Y)
         M_num = RXY - proof3.R_omegaX_eval
-        M_X_XY, M_Y_XY, rem_m = M_num.div_by_ruffini((w_mi_inv * chi) % R_MOD, zeta)
+        M_X_XY, M_Y_XY, rem_m = M_num.div_by_ruffini(
+            (w_mi_inv * chi) % R_MOD, zeta, lazy_rem=True)
         if self.testing_mode:
             self._check_ruffini(
                 M_num, M_X_XY, M_Y_XY, rem_m, (w_mi_inv * chi) % R_MOD, zeta, "M"
@@ -638,7 +661,8 @@ class Prover:
         h_my = encode_poly_start(self.sigma, M_Y_XY, self.params)
         N_num = RXY - proof3.R_omegaX_omegaY_eval
         N_X_XY, N_Y_XY, rem_n = N_num.div_by_ruffini(
-            (w_mi_inv * chi) % R_MOD, (w_smax_inv * zeta) % R_MOD
+            (w_mi_inv * chi) % R_MOD, (w_smax_inv * zeta) % R_MOD,
+            lazy_rem=True,
         )
         if self.testing_mode:
             self._check_ruffini(
@@ -658,15 +682,8 @@ class Prover:
         del M_num, M_X_XY, M_Y_XY, N_num, N_X_XY, N_Y_XY
 
         # --- Pi_C: copy-claim opening quotient (lib.rs:2703-3130)
-        r_omegaX = self.rXY.scale_coeffs_x(w_mi_inv)
-        r_omegaX_omegaY = r_omegaX.scale_coeffs_y(w_smax_inv)
         f, g = self._f_g(thetas)
         t_mi_eval = (pow(chi, m_i, R_MOD) - 1) % R_MOD
-        lagrange_K0 = W.lagrange_k0_xy(m_i)
-        lagrange_K0_eval = lagrange_K0.eval(chi, zeta)
-        small_r_eval = self.rXY.eval(chi, zeta)
-        small_r_omegaX_eval = r_omegaX.eval(chi, zeta)
-        small_r_omegaX_omegaY_eval = r_omegaX_omegaY.eval(chi, zeta)
         lagrange_KL = self._lagrange_kl if self._lagrange_kl is not None else \
             W.lagrange_kl_xy(m_i, s_max)
 
@@ -685,8 +702,6 @@ class Prover:
         # zk correction terms (lib.rs:2936-3051)
         r_D1 = self.rXY - r_omegaX
         r_D2 = self.rXY - r_omegaX_omegaY
-        r_D1_eval = r_D1.eval(chi, zeta)
-        r_D2_eval = r_D2.eval(chi, zeta)
         term_B_zk = self._term_b_zk if self._term_b_zk is not None else (
             P.low_degree_x_times_vanishing(mix.rB_X, m_i)
             + P.low_degree_y_times_vanishing(mix.rB_Y, s_max)
@@ -729,7 +744,7 @@ class Prover:
             + LHS_zk2.mul_scalar((k1_2 * kappa0 * kappa0) % R_MOD)
             + R_minus_eval.mul_scalar(k1_3)
         )
-        Pi_CX_XY, Pi_CY_XY, rem_c = LHS_for_copy.div_by_ruffini(chi, zeta)
+        Pi_CX_XY, Pi_CY_XY, rem_c = LHS_for_copy.div_by_ruffini(chi, zeta, lazy_rem=True)
         if self.testing_mode:
             self._check_ruffini(
                 LHS_for_copy, Pi_CX_XY, Pi_CY_XY, rem_c, chi, zeta, "Pi_C"
@@ -741,9 +756,8 @@ class Prover:
         h_pi_cy = encode_poly_start(self.sigma, Pi_CY_XY, self.params)
 
         # --- Pi_B: binding opening (lib.rs:3137-3181)
-        A_eval = self.a_free_X.eval(chi, zeta)
         piB_num = self.a_free_X - A_eval
-        piB_XY, _, _ = piB_num.div_by_ruffini(chi, zeta)
+        piB_XY, _, _ = piB_num.div_by_ruffini(chi, zeta, lazy_rem=True)
         h_pi_b = encode_poly_start(self.sigma, piB_XY, self.params)
         # sync batch 2
         Pi_CX, Pi_CY = fin(h_pi_cx), fin(h_pi_cy)

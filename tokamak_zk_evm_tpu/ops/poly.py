@@ -204,6 +204,13 @@ class BiPoly:
         val = F.fr_sum(F.fr_mul(col, px), axis=0)
         return int(F.unpack_fr(np.asarray(val).reshape(L, 1)).reshape(-1)[0])
 
+    def eval_device(self, x: int, y: int):
+        """eval(x, y) without the host pull -> [16] device column (for
+        eval_many batching; the tunnel charges a round trip per pull)."""
+        col = self.eval_y_axis(y)
+        px = jnp.asarray(F.fr_powers(x, self.x_size))
+        return F.fr_sum(F.fr_mul(col, px), axis=0)
+
     def scale_coeffs_x(self, factor: int) -> "BiPoly":
         """coeff[i][j] *= factor^i  (== substituting X -> factor*X; used to
         shift the evaluation domain, reference mod.rs:1553-1558)."""
@@ -286,12 +293,16 @@ class BiPoly:
         )
         return quo_x, quo_y
 
-    def div_by_ruffini(self, x: int, y: int):
+    def div_by_ruffini(self, x: int, y: int, lazy_rem: bool = False):
         """P = Q_X*(X-x) + Q_Y(Y)*(Y-y) + r  (reference mod.rs:2412-2460).
 
         The Horner recurrences become suffix sums: with S_i = sum_{t>=i}
         p_t x^t,   q_i = S_{i+1} * x^{-(i+1)} and the X-remainder column is
         S_0 (= the row-wise evaluation at x).
+
+        lazy_rem=True returns the remainder as a [16] device column instead
+        of a host int, skipping the per-call host pull (prove4 runs five of
+        these back to back; only testing mode reads the remainders).
         """
         x = x % R_MOD
         y = y % R_MOD
@@ -332,11 +343,27 @@ class BiPoly:
             qy = F.fr_mul(s_next, pyinv)
             rem = s[:, 0]
 
+        if lazy_rem:
+            return BiPoly(qx), BiPoly(qy[:, None, :]), rem
         return (
             BiPoly(qx),
             BiPoly(qy[:, None, :]),
             int(F.unpack_fr(np.asarray(rem).reshape(L, 1)).reshape(-1)[0]),
         )
+
+
+def eval_many(items) -> list[int]:
+    """Evaluate [(poly, x, y), ...] with ONE host pull.
+
+    The reference evaluates each opening scalar separately on the CPU
+    (prove/src/lib.rs round-3/4 `eval` calls); through the remote-TPU tunnel
+    every host pull is a round trip, so prover rounds batch all their point
+    evaluations behind a single sync."""
+    if not items:
+        return []
+    vals = [p.eval_device(x, y) for p, x, y in items]
+    stacked = np.asarray(jnp.stack(vals, axis=1))  # [16, k]
+    return [int(v) for v in F.unpack_fr(stacked).reshape(-1)]
 
 
 def from_const(s: int) -> BiPoly:
