@@ -1,101 +1,73 @@
-"""Packed Pallas MSM pipeline vs host oracle (interpreter mode on CPU).
+"""Packed MSM pipeline: host-checkable pieces.
 
-The production MSM path (backend/pallas_kernels.py packed pipeline) is
-TPU-only at runtime; these tests run its kernels through the Pallas
-interpreter so the merge-tree/flush/tail logic and the packed fused
-incomplete-add algebra are covered by plain pytest (the hardware oracle is
-scripts/tpu_check.py).  Reference MSM engine: libs/src/group_structures/
-mod.rs:107-114 (icicle msm::msm).
+The Pallas kernels themselves (fused packed affine/jacobian adds, merge
+tree) are hardware-validated by scripts/pk_check.py + scripts/
+msm_shape_check.py against the sum-check oracle on a real chip — the
+Pallas interpreter is impractically slow for fori-looped CIOS kernels.
+Here we cover the pure-JAX/host pieces: limb packing, digit extraction,
+and the jacobian host combine in g1_msm_finish.
+Reference MSM engine: libs/src/group_structures/mod.rs:107-114.
 """
 
 import numpy as np
 import jax.numpy as jnp
-import pytest
 
 from tokamak_zk_evm_tpu.backend import pallas_kernels as P
-from tokamak_zk_evm_tpu.fields import FQ
+from tokamak_zk_evm_tpu.fields import FQ, R_MOD
 from tokamak_zk_evm_tpu.host import curve as C
-from tokamak_zk_evm_tpu.ops import curve as cv
 from tokamak_zk_evm_tpu.ops import field as F
 
 RNG = np.random.default_rng(97)
 
 
-def rand_points(n):
-    return [
-        C.g1_scalar_mul_affine(
-            C.G1.gen, int.from_bytes(RNG.bytes(16), "little"))
-        for _ in range(n)
-    ]
+def test_pack_unpack_roundtrip():
+    a = jnp.asarray(RNG.integers(0, 1 << 16, (24, 37), dtype=np.uint32))
+    pk = P.pack_fq_rows(a)
+    assert pk.shape == (12, 37)
+    back = P.unpack_fq_rows(pk)
+    assert (np.asarray(back) == np.asarray(a)).all()
+    # row i holds limbs 2i (lo) / 2i+1 (hi)
+    h = np.asarray(pk)
+    assert (h[3] == np.asarray(a)[6] + (np.asarray(a)[7] << 16)).all()
 
 
-def unpack_cols(a):
-    """Packed [12, B] device array -> list of host ints per column."""
-    h = np.asarray(a)
-    lo, hi = h & 0xFFFF, h >> 16
-    limbs = np.stack([lo, hi], axis=1).reshape(24, -1)
-    return [FQ.from_mont(FQ.from_limbs(limbs[:, i]))
-            for i in range(limbs.shape[1])]
+def test_digits_all_matches_host():
+    n, c = 64, 13
+    scalars = [int.from_bytes(RNG.bytes(32), "little") % R_MOD
+               for _ in range(n)]
+    sc = jnp.asarray(F.pack_fr(scalars, mont=False))
+    digs = np.asarray(P._digits_all(sc, c))
+    W = -(-255 // c)
+    assert digs.shape == (W, n)
+    for i, s in enumerate(scalars):
+        for w in range(W):
+            assert digs[w, i] == (s >> (w * c)) & ((1 << c) - 1), (w, i)
 
 
-@pytest.fixture(autouse=True)
-def _interpret(monkeypatch):
-    monkeypatch.setattr(P, "_INTERPRET", True)
-
-
-def test_aff_add_packed_matches_host():
-    n = 150
-    pts1 = rand_points(n)
-    pts2 = rand_points(n)
-    # lanes 0/1: p1 = infinity; lanes 2/3: p2 = infinity; lane 4: both
-    for i in (0, 1, 4):
-        pts1[i] = None
-    for i in (2, 3, 4):
-        pts2[i] = None
-    x1, y1, i1 = cv.pack_affine(pts1)
-    x2, y2, i2 = cv.pack_affine(pts2)
-
-    def pk(x, y, inf):
-        m = jnp.asarray(np.asarray(inf, np.uint32)[None, :] != 0)
-        xz = jnp.where(m, jnp.uint32(0), x)
-        yz = jnp.where(m, jnp.uint32(0), y)
-        return P.pack_fq_rows(xz), P.pack_fq_rows(yz)
-
-    p1 = pk(x1, y1, i1)
-    p2 = pk(x2, y2, i2)
-    mask = np.ones(n, np.uint32)
-    mask[7:20] = 0  # pass-through lanes
-    ox, oy = P.aff_add_packed(p1, p2, mask=jnp.asarray(mask))
-    gx = unpack_cols(ox)
-    gy = unpack_cols(oy)
-    for i in range(n):
-        if mask[i] == 0:
-            want = pts2[i]
-        else:
-            a = C.G1.from_affine(pts1[i]) if pts1[i] else C.G1.infinity
-            b = C.G1.from_affine(pts2[i]) if pts2[i] else C.G1.infinity
-            want = C.G1.to_affine(C.G1.add(a, b))
-        if want is None:
-            assert gx[i] == 0 and gy[i] == 0, f"lane {i}"
-        else:
-            assert (gx[i], gy[i]) == want, f"lane {i}"
-
-
-def test_packed_msm_full_pipeline_matches_host(monkeypatch):
-    # pin a small-but-structured config: c=8 -> 32 windows, 4 per scan step
-    monkeypatch.setitem(P._MSM_PINNED, 16, (8, 4))
-    n = 13  # pads to 16
-    pts = rand_points(n)
-    pts[5] = None  # an infinity input lane
-    scalars = [int.from_bytes(RNG.bytes(32), "little") % C.R_MOD
-               for i in range(n)]
-    scalars[3] = 0
-    x, y, inf = cv.pack_affine(pts)
-    s = jnp.asarray(F.pack_fr(scalars, mont=False))
-    rows = np.asarray(P.g1_msm(s, x, y, inf))
-    X = int(F.unpack_fq(rows[0].reshape(24, 1))[0])
-    Y = int(F.unpack_fq(rows[1].reshape(24, 1))[0])
-    Z = int(F.unpack_fq(rows[2].reshape(24, 1))[0])
-    got = C.G1.to_affine((X, Y, Z))
-    want = C.G1.msm_affine(scalars, pts)
-    assert got == want
+def test_msm_finish_jacobian_host_combine():
+    """Feed g1_msm_finish hand-built packed jacobian singles and check the
+    exact host combine: sum 2^(c*w + lev) * P[w, lev]."""
+    c, W, NLEV = 4, 3, 4
+    pts = {}
+    sing = np.zeros((3, W, NLEV, 24), np.uint64)
+    for (w, lev) in [(0, 0), (1, 2), (2, 3)]:
+        k = int.from_bytes(RNG.bytes(8), "little")
+        aff = C.g1_scalar_mul_affine(C.G1.gen, k)
+        z = 7 + w + lev  # arbitrary nonzero Z: X' = X z^2, Y' = Y z^3
+        X = aff[0] * z * z % C.Q_MOD
+        Y = aff[1] * pow(z, 3, C.Q_MOD) % C.Q_MOD
+        sing[0, w, lev] = FQ.to_limbs(FQ.to_mont(X))
+        sing[1, w, lev] = FQ.to_limbs(FQ.to_mont(Y))
+        sing[2, w, lev] = FQ.to_limbs(FQ.to_mont(z))
+        pts[(w, lev)] = aff
+    packed = (sing[..., 0::2] | (sing[..., 1::2] << 16)).astype(np.uint32)
+    rows = np.asarray(P.g1_msm_finish((jnp.asarray(packed), c)))
+    gX = int(F.unpack_fq(rows[0].reshape(24, 1))[0])
+    gY = int(F.unpack_fq(rows[1].reshape(24, 1))[0])
+    gZ = int(F.unpack_fq(rows[2].reshape(24, 1))[0])
+    got = C.G1.to_affine((gX, gY, gZ))
+    acc = C.G1.infinity
+    for (w, lev), aff in pts.items():
+        acc = C.G1.add(acc, C.G1.scalar_mul(
+            C.G1.from_affine(aff), 1 << (c * w + lev)))
+    assert got == C.G1.to_affine(acc)

@@ -1404,35 +1404,169 @@ def aff_add_packed(p1, p2, mask=None):
     )
 
 
-def _aff_tree_sum_last_pk(X, Y):
-    """Packed variant of _aff_tree_sum_last: [12, W, m] -> [12, W]."""
+@functools.lru_cache(maxsize=None)
+def _pk_jac_add_fn(s_total, has_mask):
+    """Fused INCOMPLETE jacobian add, packed IO ([12, S, 128] per coord).
+
+    Handles only the infinity bypass (Z == 0); doubling/cancellation lanes
+    cannot occur for partial sums of disjoint point subsets (see the packed
+    pipeline header).  ~16 CIOS muls per lane — no inversion at all, which
+    is the point: the merge tree's deep levels and the flush/tail reductions
+    otherwise pay a ~4.6 ms sequential Fermat inversion per batch-inverted
+    add call (381 squarings of instruction-depth cost), dwarfing their own
+    arithmetic.  add-2007-bl, as g1_add (zk_kernels.cpp g1_add)."""
+    mod, n0 = _FQ_MOD, _FQ_N0
+
+    def kernel(*refs):
+        if has_mask:
+            x1, y1, z1, x2, y2, z2, mask, ox, oy, oz, scratch = refs
+        else:
+            x1, y1, z1, x2, y2, z2, ox, oy, oz, scratch = refs
+            mask = None
+
+        def up(ref):
+            out = []
+            for i in range(FQ_P):
+                v = ref[i]
+                out.append(v & _M16)
+                out.append(v >> 16)
+            return out
+
+        X1, Y1, Z1 = up(x1), up(y1), up(z1)
+        X2, Y2, Z2 = up(x2), up(y2), up(z2)
+
+        def mul(a, b):
+            return _mulm_fori(a, b, mod, n0, scratch)
+
+        inf1 = _iszero_limbs(Z1)
+        inf2 = _iszero_limbs(Z2)
+        Z1Z1 = mul(Z1, Z1)
+        Z2Z2 = mul(Z2, Z2)
+        U1 = mul(X1, Z2Z2)
+        U2 = mul(X2, Z1Z1)
+        S1 = mul(Y1, mul(Z2, Z2Z2))
+        S2 = mul(Y2, mul(Z1, Z1Z1))
+        H = _subm(U2, U1, mod)
+        R = _subm(S2, S1, mod)
+        HH = mul(H, H)
+        HHH = mul(H, HH)
+        V = mul(U1, HH)
+        RR = mul(R, R)
+        X3 = _subm(_subm(_subm(RR, HHH, mod), V, mod), V, mod)
+        Y3 = _subm(mul(R, _subm(V, X3, mod)), mul(S1, HHH), mod)
+        Z3 = mul(mul(Z1, Z2), H)
+
+        def sel(cond, a, b):
+            return [jnp.where(cond, a[i], b[i]) for i in range(FQ_L)]
+
+        outx = sel(inf1, X2, sel(inf2, X1, X3))
+        outy = sel(inf1, Y2, sel(inf2, Y1, Y3))
+        outz = sel(inf1, Z2, sel(inf2, Z1, Z3))
+        if mask is not None:
+            m = mask[0] != 0
+            outx = sel(m, outx, X2)
+            outy = sel(m, outy, Y2)
+            outz = sel(m, outz, Z2)
+        px, py, pz = _k_pack(outx), _k_pack(outy), _k_pack(outz)
+        for i in range(FQ_P):
+            ox[i] = px[i]
+            oy[i] = py[i]
+            oz[i] = pz[i]
+
+    sb = min(8, s_total)
+    blk = pl.BlockSpec((FQ_P, sb, LANES), lambda i: (0, i, 0),
+                       memory_space=pltpu.VMEM)
+    mblk = pl.BlockSpec((1, sb, LANES), lambda i: (0, i, 0),
+                        memory_space=pltpu.VMEM)
+    in_specs = [blk] * 6 + ([mblk] if has_mask else [])
+    fn = pl.pallas_call(
+        kernel,
+        grid=(s_total // sb,),
+        in_specs=in_specs,
+        out_specs=[blk] * 3,
+        out_shape=[
+            jax.ShapeDtypeStruct((FQ_P, s_total, LANES), jnp.uint32)
+        ] * 3,
+        scratch_shapes=[pltpu.VMEM((FQ_L, sb, LANES), jnp.uint32)],
+        interpret=_INTERPRET,
+    )
+    return jax.jit(fn)
+
+
+def jac_add_packed(p1, p2, mask=None):
+    """Batched incomplete jacobian add on packed coords ([12, B] each).
+
+    mask semantics match aff_add_packed: mask == 0 lanes pass p2 through."""
+    B = p1[0].shape[1]
+    sp = -(-B // LANES)
+    sp = -(-sp // 8) * 8 if sp > 8 else sp
+    Bp = sp * LANES
+
+    def pad(a):
+        if Bp != B:
+            a = jnp.pad(a, ((0, 0), (0, Bp - B)))
+        return a.reshape(FQ_P, sp, LANES)
+
+    args = [pad(c) for c in (*p1, *p2)]
+    if mask is not None:
+        mb = mask if Bp == B else jnp.pad(mask, (0, Bp - B))
+        args.append(mb.reshape(1, sp, LANES))
+        ox, oy, oz = _pk_jac_add_fn(sp, True)(*args)
+    else:
+        ox, oy, oz = _pk_jac_add_fn(sp, False)(*args)
+    return tuple(v.reshape(FQ_P, Bp)[:, :B] for v in (ox, oy, oz))
+
+
+@functools.lru_cache(maxsize=None)
+def _one_pk_col():
+    one = np.array(_FQ_ONE, np.uint32)
+    pk = one[0::2] | (one[1::2] << 16)
+    return pk.reshape(FQ_P, 1)
+
+
+def _jac_z_of_affine_pk(X, Y):
+    """Packed affine -> jacobian Z column: one where the point is real,
+    zero (infinity) where (X, Y) == (0, 0)."""
+    nz = jnp.any(X != 0, axis=0) | jnp.any(Y != 0, axis=0)
+    onec = jnp.asarray(_one_pk_col())
+    return jnp.where(nz[None, :], onec, jnp.uint32(0))
+
+
+def _jac_tree_sum_last_pk(X, Y, Z):
+    """Reduce packed jacobian [12, W, m] -> [12, W] by pair halving."""
     L, W, m = X.shape
     while m > 1:
         h = m // 2
-        a1 = tuple(v[:, :, :h].reshape(L, W * h) for v in (X, Y))
-        a2 = tuple(v[:, :, h:].reshape(L, W * h) for v in (X, Y))
-        X, Y = (v.reshape(L, W, h) for v in aff_add_packed(a1, a2))
+        a1 = tuple(v[:, :, :h].reshape(L, W * h) for v in (X, Y, Z))
+        a2 = tuple(v[:, :, h:].reshape(L, W * h) for v in (X, Y, Z))
+        X, Y, Z = (v.reshape(L, W, h) for v in jac_add_packed(a1, a2))
         m = h
-    return X[:, :, 0], Y[:, :, 0]
+    return X[:, :, 0], Y[:, :, 0], Z[:, :, 0]
 
 
-def _weighted_bucket_tail_pk(bX, bY):
-    """Packed variant of _weighted_bucket_tail: [12, W, NB] affine ->
-    per-window per-level singles (sX, sY) each [W, NLEV, 12]."""
+def _weighted_bucket_tail_jac_pk(bX, bY, bZ):
+    """sum_b b * B[w, b] per window via pair halving on packed jacobian
+    buckets, the 2^level weighting deferred to the host combine.  Input
+    [12, W, NB]; returns per-window per-level singles each [W, NLEV, 12]."""
     L, W, nb = bX.shape
-    sXs, sYs = [], []
+    sXs, sYs, sZs = [], [], []
     while nb > 1:
-        ev = (bX[:, :, 0::2], bY[:, :, 0::2])
-        od = (bX[:, :, 1::2], bY[:, :, 1::2])
-        sX, sY = _aff_tree_sum_last_pk(*od)
+        ev = tuple(v[:, :, 0::2] for v in (bX, bY, bZ))
+        od = tuple(v[:, :, 1::2] for v in (bX, bY, bZ))
+        sX, sY, sZ = _jac_tree_sum_last_pk(*od)
         sXs.append(sX)
         sYs.append(sY)
+        sZs.append(sZ)
         h = nb // 2
         a1 = tuple(v.reshape(L, W * h) for v in ev)
         a2 = tuple(v.reshape(L, W * h) for v in od)
-        bX, bY = (v.reshape(L, W, h) for v in aff_add_packed(a1, a2))
+        bX, bY, bZ = (v.reshape(L, W, h) for v in jac_add_packed(a1, a2))
         nb = h
-    return jnp.stack(sXs).transpose(2, 0, 1), jnp.stack(sYs).transpose(2, 0, 1)
+    return (
+        jnp.stack(sXs).transpose(2, 0, 1),
+        jnp.stack(sYs).transpose(2, 0, 1),
+        jnp.stack(sZs).transpose(2, 0, 1),
+    )
 
 
 def _digits_all(sc, c):
@@ -1610,12 +1744,32 @@ def _msm_windows_core(n, wb, c):
     return run
 
 
+_JAC_TH = 1 << 18  # merge-level width below which jacobian replaces affine
+
+
 def _msm_windows_core_packed(n, wb, c):
-    """Packed-pipeline MSM core: same sorted merge-tree structure as
-    _msm_windows_core (see its docstring for the algorithm) but with packed
-    coordinates, the fused 2-kernel incomplete add, and the merge-select
-    folded into the add kernel.  Returns (sX, sY) each [W_padded, c, 12]
-    PACKED affine singles."""
+    """Packed-pipeline MSM core.  Same sorted merge-tree structure as
+    _msm_windows_core (see its docstring for the algorithm), rebuilt around
+    the measured bottlenecks (scripts/msm_phase_profile.py @ 2^22):
+
+      * coordinates packed (two 16-bit limbs per u32 lane) end to end;
+      * the point gather runs over [n, 128] ROWS — XLA's TPU gather moves
+        aligned 128-lane rows ~3.5x faster per point than lane-major
+        columns (scripts/gather_probe.py: 0.14 s vs 0.49 s per 8M rows);
+        chunked so the [chunk, 128] transient stays ~1 GB;
+      * merge levels >= _JAC_TH lanes use the fused batch-inverted affine
+        add (cheapest per lane); smaller levels switch to the fused
+        incomplete jacobian add — below ~2^18 lanes the 4.6 ms sequential
+        Fermat inversion inside every batch-inverted add dominates the
+        level itself;
+      * per-level flush scatters collect into PER-LEVEL jacobian rows which
+        reduce pairwise at the end (log2(levels) batched adds) instead of
+        one running NB-wide batch-inverted add per level;
+      * the weighted bucket tail runs jacobian; the host combine does the
+        (exact, tiny) jacobian->affine conversion.
+
+    Returns (sX, sY, sZ) each [W_padded, c, 12] packed jacobian singles.
+    """
     NB = 1 << c
     br = jnp.asarray(_bitrev_idx(n))
 
@@ -1631,30 +1785,35 @@ def _msm_windows_core_packed(n, wb, c):
         )
         return lefts, rights
 
-    def step_body(carry, digits):
-        xp, yp = carry  # packed [12, n] shared source points
-        order = jnp.argsort(digits, axis=1)        # [wb, n]
-        order = jnp.take(order, br, axis=1)        # sorted, bit-reversed
-        key = jnp.take_along_axis(digits, order, axis=1)  # [wb, n]
-        src = jnp.concatenate([xp, yp], axis=0)    # [24, n] packed
-        g = jnp.take(src, order.reshape(-1), axis=1)  # [24, wb*n]
-        X, Y = g[:FQ_P], g[FQ_P:]
+    def step_body(rows, digits):
+        # one variadic sort yields both the sorted keys and the order
+        iota = jax.lax.broadcasted_iota(jnp.int32, (wb, n), 1)
+        key, order = jax.lax.sort((digits, iota), dimension=1, num_keys=1)
+        key = jnp.take(key, br, axis=1)            # bit-reversed layout
+        order = jnp.take(order, br, axis=1)
+        flat = order.reshape(-1)
+        chunk = min(wb * n, 1 << 21)
+        parts = []
+        for i in range(0, wb * n, chunk):
+            g = jnp.take(rows, flat[i:i + chunk], axis=0)  # [chunk, 128]
+            parts.append(g[:, : 2 * FQ_P].T)               # [24, chunk]
+        g24 = jnp.concatenate(parts, axis=1) if len(parts) > 1 else parts[0]
+        X, Y = g24[:FQ_P], g24[FQ_P:]
         dead = (key == jnp.uint32(0)).reshape(1, wb * n)
         X = jnp.where(dead, jnp.uint32(0), X)  # digit 0 -> (0,0) = infinity
         Y = jnp.where(dead, jnp.uint32(0), Y)
 
         woff = (jnp.arange(wb, dtype=jnp.uint32) * jnp.uint32(NB))[:, None]
-        zeroNB = jnp.zeros((FQ_P, wb * NB), jnp.uint32)
-        bX, bY = zeroNB, zeroNB
 
-        def flush_and_add(acc, lk, pX, pY):
+        def flush_row(lk, fx, fy, fz):
             flatk = (lk + woff).reshape(-1)
-            row = tuple(
-                jnp.zeros((FQ_P, wb * NB), jnp.uint32).at[:, flatk].set(p)
-                for p in (pX, pY)
+            return tuple(
+                jnp.zeros((FQ_P, wb * NB), jnp.uint32).at[:, flatk].set(v)
+                for v in (fx, fy, fz)
             )
-            return aff_add_packed(acc, row)
 
+        flush_rows = []
+        Z = None  # None == affine representation
         m = n
         while m > 1:
             h = m // 2
@@ -1662,16 +1821,47 @@ def _msm_windows_core_packed(n, wb, c):
             lX, rX = _halves(X, wb, m)
             lY, rY = _halves(Y, wb, m)
             same2 = kl == kr  # [wb, h]
-            X, Y = aff_add_packed(
-                (lX, lY), (rX, rY),
-                mask=same2.reshape(wb * h).astype(jnp.uint32),
-            )
+            mask = same2.reshape(wb * h).astype(jnp.uint32)
             lk = jnp.where(same2, jnp.uint32(0), kl)  # merged -> bucket 0
-            bX, bY = flush_and_add((bX, bY), lk, lX, lY)
+            if Z is None and wb * h < _JAC_TH:
+                Z = _jac_z_of_affine_pk(X, Y)
+            if Z is None:
+                flush_rows.append(
+                    flush_row(lk, lX, lY, _jac_z_of_affine_pk(lX, lY)))
+                X, Y = aff_add_packed((lX, lY), (rX, rY), mask=mask)
+            else:
+                lZ, rZ = _halves(Z, wb, m)
+                flush_rows.append(flush_row(lk, lX, lY, lZ))
+                X, Y, Z = jac_add_packed(
+                    (lX, lY, lZ), (rX, rY, rZ), mask=mask)
             key = kr
             m = h
-        bX, bY = flush_and_add((bX, bY), key, X, Y)
-        return carry, (bX, bY)
+        if Z is None:
+            Z = _jac_z_of_affine_pk(X, Y)
+        flush_rows.append(flush_row(key, X, Y, Z))
+
+        # pairwise-reduce the per-level rows (batched across levels)
+        FX = jnp.stack([r[0] for r in flush_rows])  # [nlev, 12, wb*NB]
+        FY = jnp.stack([r[1] for r in flush_rows])
+        FZ = jnp.stack([r[2] for r in flush_rows])
+        nlev = FX.shape[0]
+        while nlev > 1:
+            if nlev % 2 == 1:
+                pad = ((0, 1), (0, 0), (0, 0))
+                FX, FY, FZ = (jnp.pad(v, pad) for v in (FX, FY, FZ))
+                nlev += 1
+            h2 = nlev // 2
+            a1 = tuple(
+                jnp.moveaxis(v[0::2], 0, 2).reshape(FQ_P, h2 * wb * NB)
+                for v in (FX, FY, FZ))
+            a2 = tuple(
+                jnp.moveaxis(v[1::2], 0, 2).reshape(FQ_P, h2 * wb * NB)
+                for v in (FX, FY, FZ))
+            o = jac_add_packed(a1, a2)
+            FX, FY, FZ = (
+                jnp.moveaxis(v.reshape(FQ_P, wb * NB, h2), 2, 0) for v in o)
+            nlev = h2
+        return rows, (FX[0], FY[0], FZ[0])
 
     def run(scalars, xp, yp, infp):
         digits = _digits_all(scalars, c)  # [W, n]
@@ -1681,10 +1871,14 @@ def _msm_windows_core_packed(n, wb, c):
         if steps * wb != W:
             key_all = jnp.pad(key_all, ((0, steps * wb - W), (0, 0)))
         ks = key_all.reshape(steps, wb, n)
-        _, (bXs, bYs) = jax.lax.scan(step_body, (xp, yp), ks)
+        # [n, 128] gather rows: packed X|Y in the first 24 lanes
+        src = jnp.concatenate([xp, yp], axis=0)  # [24, n]
+        rows = jnp.pad(src.T, ((0, 0), (0, LANES - 2 * FQ_P)))
+        _, (bXs, bYs, bZs) = jax.lax.scan(step_body, rows, ks)
         bX = jnp.moveaxis(bXs, 1, 0).reshape(FQ_P, steps * wb, NB)
         bY = jnp.moveaxis(bYs, 1, 0).reshape(FQ_P, steps * wb, NB)
-        return _weighted_bucket_tail_pk(bX, bY)
+        bZ = jnp.moveaxis(bZs, 1, 0).reshape(FQ_P, steps * wb, NB)
+        return _weighted_bucket_tail_jac_pk(bX, bY, bZ)
 
     return run
 
@@ -1720,8 +1914,8 @@ def _msm_full_fn(n, wb, c):
             dead = pinf[None, :].astype(bool)
             xp = jnp.where(dead, jnp.uint32(0), xp)
             yp = jnp.where(dead, jnp.uint32(0), yp)
-            sX, sY = run(scalars, xp, yp, pinf)
-            return jnp.stack([sX, sY])  # [2, W, c, 12] packed
+            sX, sY, sZ = run(scalars, xp, yp, pinf)
+            return jnp.stack([sX, sY, sZ])  # [3, W, c, 12] packed jacobian
 
         return jax.jit(full)
 
@@ -1794,23 +1988,35 @@ def g1_msm_finish(handle):
 
     out, c = handle
     both = np.asarray(out)  # ONE host pull for the whole result
+    jac = both.shape[0] == 3  # packed-jacobian singles (packed pipeline)
+    if both.shape[-1] == FQ_P:  # packed -> unpack on host
+        lo = both & 0xFFFF
+        hi = both >> 16
+        both = np.stack([lo, hi], axis=-1).reshape(
+            both.shape[:-1] + (FQ_L,))
     sXh, sYh = both[0], both[1]
-    if sXh.shape[-1] == FQ_P:  # packed singles -> unpack on host
-        def _unpk(a):
-            lo = a & 0xFFFF
-            hi = a >> 16
-            return np.stack([lo, hi], axis=-1).reshape(a.shape[:-1] + (FQ_L,))
-        sXh, sYh = _unpk(sXh), _unpk(sYh)
+    sZh = both[2] if jac else None
     exps, pts = [], []
     for wi in range(sXh.shape[0]):  # includes padded windows (all-infinity)
         for lev in range(sXh.shape[1]):
-            if not (sXh[wi, lev].any() or sYh[wi, lev].any()):
-                continue  # (0,0) = infinity
+            if jac:
+                Zi = FQ.from_mont(FQ.from_limbs(sZh[wi, lev]))
+                if Zi == 0:
+                    continue  # infinity
+                Xi = FQ.from_mont(FQ.from_limbs(sXh[wi, lev]))
+                Yi = FQ.from_mont(FQ.from_limbs(sYh[wi, lev]))
+                zi = pow(Zi, -1, Q_MOD)
+                zi2 = zi * zi % Q_MOD
+                pt = (Xi * zi2 % Q_MOD, Yi * zi2 % Q_MOD * zi % Q_MOD)
+            else:
+                if not (sXh[wi, lev].any() or sYh[wi, lev].any()):
+                    continue  # (0,0) = infinity
+                pt = (
+                    FQ.from_mont(FQ.from_limbs(sXh[wi, lev])),
+                    FQ.from_mont(FQ.from_limbs(sYh[wi, lev])),
+                )
             exps.append(c * wi + lev)
-            pts.append((
-                FQ.from_mont(FQ.from_limbs(sXh[wi, lev])),
-                FQ.from_mont(FQ.from_limbs(sYh[wi, lev])),
-            ))
+            pts.append(pt)
     X, Y, Z = G1.msm_pow2(exps, pts)  # jacobian host tuple (Z=0 at inf)
     rows = np.zeros((3, FQ_L), np.uint32)
     rows[0] = FQ.to_limbs(FQ.to_mont(X))
