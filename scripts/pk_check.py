@@ -84,7 +84,7 @@ def check_add():
 
 
 def check_msm(logn):
-    N = 1 << logn
+    N = logn if logn > 30 else (1 << logn)  # big args are raw counts
     cs = [int.from_bytes(RNG.bytes(32), "little") % R_MOD for _ in range(N)]
     from tokamak_zk_evm_tpu.ops import msm as msm_mod
 
@@ -101,7 +101,7 @@ def check_msm(logn):
     total = sum(k * c for k, c in zip(ks, cs)) % R_MOD
     want = C.g1_scalar_mul_affine(C.G1.gen, total)
     ok = got == want
-    print(f"[pk_check] msm 2^{logn}: {'OK' if ok else 'MISMATCH'} ({dt:.2f}s)",
+    print(f"[pk_check] msm N={N}: {'OK' if ok else 'MISMATCH'} ({dt:.2f}s)",
           flush=True)
     return ok
 

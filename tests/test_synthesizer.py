@@ -337,3 +337,30 @@ def test_reverted_child_rolls_back():
     # the child's SSTORE rolled back; only the parent's write survives
     assert (TOKEN_B, 2) not in res.storage_writes
     assert res.storage_writes[(CONTRACT, 7)] == 9
+
+
+def test_push_constants_bound_publicly():
+    """In-code constants consumed by placements must surface in the PUBLIC
+    function instance (bufferEVMIn), pinning their values in the statement —
+    the reference's loadArbitraryStatic routing (`bufferManager.ts:78-103`).
+    A prover that lies about a PUSH immediate then contradicts the public
+    instance the verifier commits to."""
+    from tokamak_zk_evm_tpu.frontend.synthesizer import Synthesizer, TxEnv
+
+    sel_check = [
+        ("PUSH0",), ("CALLDATALOAD",),
+        ("PUSH1", 0xE0), ("SHR",),              # selector = cd >> 0xe0
+        ("PUSH4", 0xA9059CBB), ("EQ",),         # selector == transfer(...)
+        ("PUSH0",), ("MSTORE",),
+        ("PUSH1", 32), ("PUSH0",), ("RETURN",),
+    ]
+    env = TxEnv(caller=SENDER, address=CONTRACT,
+                calldata=_transfer_calldata(RECIPIENT, 1))
+    syn = Synthesizer(REFERENCE_LIBRARY, s_max=16)
+    res = syn.run(asm(sel_check), env, {})
+    assert int.from_bytes(res.returndata, "big") == 1
+    f = res.instance.a_pub_function
+    # the SHR shift amount and the PUSH4 selector are ALU operands: both
+    # must be pinned as public static words (lo limb; hi limb is 0)
+    assert 0xE0 in f
+    assert 0xA9059CBB in f

@@ -1806,11 +1806,24 @@ def _msm_windows_core_packed(n, wb, c):
         woff = (jnp.arange(wb, dtype=jnp.uint32) * jnp.uint32(NB))[:, None]
 
         def flush_row(lk, fx, fy, fz):
+            """Scatter a level's left-partials into bucket-indexed rows.
+
+            fz=None (affine levels, 96% of scattered lanes): scatter only
+            (X, Y) and derive Z from the scattered rows afterwards — a
+            written bucket holds a real affine point ((0,0) only for dead
+            lanes routed to bucket 0), an unwritten bucket stays (0, 0) =
+            infinity.  Scatter cost is per element, so dropping the Z row
+            cuts a third of the flush traffic."""
             flatk = (lk + woff).reshape(-1)
-            return tuple(
+            sx, sy = (
                 jnp.zeros((FQ_P, wb * NB), jnp.uint32).at[:, flatk].set(v)
-                for v in (fx, fy, fz)
+                for v in (fx, fy)
             )
+            if fz is None:
+                sz = _jac_z_of_affine_pk(sx, sy)
+            else:
+                sz = jnp.zeros((FQ_P, wb * NB), jnp.uint32).at[:, flatk].set(fz)
+            return sx, sy, sz
 
         flush_rows = []
         Z = None  # None == affine representation
@@ -1826,8 +1839,7 @@ def _msm_windows_core_packed(n, wb, c):
             if Z is None and wb * h < _JAC_TH:
                 Z = _jac_z_of_affine_pk(X, Y)
             if Z is None:
-                flush_rows.append(
-                    flush_row(lk, lX, lY, _jac_z_of_affine_pk(lX, lY)))
+                flush_rows.append(flush_row(lk, lX, lY, None))
                 X, Y = aff_add_packed((lX, lY), (rX, rY), mask=mask)
             else:
                 lZ, rZ = _halves(Z, wb, m)
@@ -1839,29 +1851,9 @@ def _msm_windows_core_packed(n, wb, c):
         if Z is None:
             Z = _jac_z_of_affine_pk(X, Y)
         flush_rows.append(flush_row(key, X, Y, Z))
-
-        # pairwise-reduce the per-level rows (batched across levels)
-        FX = jnp.stack([r[0] for r in flush_rows])  # [nlev, 12, wb*NB]
-        FY = jnp.stack([r[1] for r in flush_rows])
-        FZ = jnp.stack([r[2] for r in flush_rows])
-        nlev = FX.shape[0]
-        while nlev > 1:
-            if nlev % 2 == 1:
-                pad = ((0, 1), (0, 0), (0, 0))
-                FX, FY, FZ = (jnp.pad(v, pad) for v in (FX, FY, FZ))
-                nlev += 1
-            h2 = nlev // 2
-            a1 = tuple(
-                jnp.moveaxis(v[0::2], 0, 2).reshape(FQ_P, h2 * wb * NB)
-                for v in (FX, FY, FZ))
-            a2 = tuple(
-                jnp.moveaxis(v[1::2], 0, 2).reshape(FQ_P, h2 * wb * NB)
-                for v in (FX, FY, FZ))
-            o = jac_add_packed(a1, a2)
-            FX, FY, FZ = (
-                jnp.moveaxis(v.reshape(FQ_P, wb * NB, h2), 2, 0) for v in o)
-            nlev = h2
-        return rows, (FX[0], FY[0], FZ[0])
+        # the per-level rows reduce AFTER the scan, batched across steps
+        return rows, tuple(
+            jnp.stack([r[i] for r in flush_rows]) for i in range(3))
 
     def run(scalars, xp, yp, infp):
         digits = _digits_all(scalars, c)  # [W, n]
@@ -1874,10 +1866,36 @@ def _msm_windows_core_packed(n, wb, c):
         # [n, 128] gather rows: packed X|Y in the first 24 lanes
         src = jnp.concatenate([xp, yp], axis=0)  # [24, n]
         rows = jnp.pad(src.T, ((0, 0), (0, LANES - 2 * FQ_P)))
-        _, (bXs, bYs, bZs) = jax.lax.scan(step_body, rows, ks)
-        bX = jnp.moveaxis(bXs, 1, 0).reshape(FQ_P, steps * wb, NB)
-        bY = jnp.moveaxis(bYs, 1, 0).reshape(FQ_P, steps * wb, NB)
-        bZ = jnp.moveaxis(bZs, 1, 0).reshape(FQ_P, steps * wb, NB)
+        _, (FXs, FYs, FZs) = jax.lax.scan(step_body, rows, ks)
+        # FXs: [steps, nlev, 12, wb*NB].  Reduce the level axis pairwise,
+        # batching (step, bucket) — one big add per pass instead of ~13
+        # small ones per step (launch overhead halved the reduce's speed).
+        nlev = FXs.shape[1]
+        FX, FY, FZ = FXs, FYs, FZs
+        while nlev > 1:
+            if nlev % 2 == 1:
+                pad = ((0, 0), (0, 1), (0, 0), (0, 0))
+                FX, FY, FZ = (jnp.pad(v, pad) for v in (FX, FY, FZ))
+                nlev += 1
+            h2 = nlev // 2
+            a1 = tuple(
+                jnp.moveaxis(v[:, 0::2], 2, 0).reshape(FQ_P, -1)
+                for v in (FX, FY, FZ))
+            a2 = tuple(
+                jnp.moveaxis(v[:, 1::2], 2, 0).reshape(FQ_P, -1)
+                for v in (FX, FY, FZ))
+            o = jac_add_packed(a1, a2)
+            FX, FY, FZ = (
+                jnp.moveaxis(
+                    v.reshape(FQ_P, steps, h2, wb * NB), 0, 2)
+                for v in o)
+            nlev = h2
+        bX = jnp.moveaxis(FX[:, 0].reshape(steps, FQ_P, wb, NB), 1, 0)
+        bX = bX.reshape(FQ_P, steps * wb, NB)
+        bY = jnp.moveaxis(FY[:, 0].reshape(steps, FQ_P, wb, NB), 1, 0)
+        bY = bY.reshape(FQ_P, steps * wb, NB)
+        bZ = jnp.moveaxis(FZ[:, 0].reshape(steps, FQ_P, wb, NB), 1, 0)
+        bZ = bZ.reshape(FQ_P, steps * wb, NB)
         return _weighted_bucket_tail_jac_pk(bX, bY, bZ)
 
     return run
@@ -1963,11 +1981,30 @@ def _weighted_bucket_tail(bX, bY):
     return jnp.stack(sXs).transpose(2, 0, 1), jnp.stack(sYs).transpose(2, 0, 1)
 
 
-def g1_msm_start(scalars, px, py, pinf):
-    """Dispatch the device half of an MSM without blocking: returns a
-    handle for g1_msm_finish.  Splitting dispatch from the host pull lets a
-    prover round enqueue ALL its commitments before the first sync — through
-    the remote TPU tunnel each sync costs a round trip."""
+def _pow2_chunks(N: int) -> list:
+    """Greedy pow2 decomposition of a raw point count.
+
+    encode_poly slices are tx*ty grids like 4097*257 — 0.4% above a power
+    of two.  Padding that to 2^21 would sort/gather/merge 2^20 dead lanes
+    (half the padded MSM!); instead the MSM runs as up to three chunks
+    ([2^20, 2^13] here) whose results add exactly on the host.  Chunk
+    boundaries are pow2 >= 2^15, so slices stay lane-aligned and chunk
+    sizes reuse already-compiled executables."""
+    if N <= (1 << 16):
+        return [N]
+    chunks = []
+    rem = N
+    while True:
+        p = 1 << (rem.bit_length() - 1)
+        if p == rem or rem < (1 << 15) or len(chunks) >= 2:
+            chunks.append(rem)
+            break
+        chunks.append(p)
+        rem -= p
+    return chunks
+
+
+def _msm_one_start(scalars, px, py, pinf):
     N = px.shape[1]
     n = max(2, 1 << (N - 1).bit_length())
     c, W, wb = _msm_config(n)
@@ -1982,9 +2019,49 @@ def g1_msm_start(scalars, px, py, pinf):
     return (out, c)
 
 
+def g1_msm_start(scalars, px, py, pinf):
+    """Dispatch the device half of an MSM without blocking: returns a
+    handle for g1_msm_finish.  Splitting dispatch from the host pull lets a
+    prover round enqueue ALL its commitments before the first sync — through
+    the remote TPU tunnel each sync costs a round trip.  Point counts just
+    above a power of two dispatch as multiple pow2 chunks (_pow2_chunks)
+    whose partial results add exactly on the host at finish time."""
+    N = px.shape[1]
+    handles = []
+    off = 0
+    for ch in _pow2_chunks(N):
+        end = min(off + ch, N)
+        handles.append(_msm_one_start(
+            scalars[:, off:end], px[:, off:end], py[:, off:end],
+            pinf[off:end]))
+        off = end
+    return handles
+
+
 def g1_msm_finish(handle):
-    """Pull the windowed singles and run the exact host combine."""
+    """Pull the windowed singles and run the exact host combine.  A list
+    handle (pow2-chunked MSM) finishes each chunk and adds the host
+    jacobian results exactly."""
     from ..host.curve import G1
+
+    if isinstance(handle, list):
+        parts = [g1_msm_finish(h) for h in handle]
+        if len(parts) == 1:
+            return parts[0]
+        acc = None
+        for rows in parts:
+            rh = np.asarray(rows)
+            P = (
+                FQ.from_mont(FQ.from_limbs(rh[0])),
+                FQ.from_mont(FQ.from_limbs(rh[1])),
+                FQ.from_mont(FQ.from_limbs(rh[2])),
+            )
+            acc = P if acc is None else G1.add(acc, P)
+        rows = np.zeros((3, FQ_L), np.uint32)
+        rows[0] = FQ.to_limbs(FQ.to_mont(acc[0]))
+        rows[1] = FQ.to_limbs(FQ.to_mont(acc[1]))
+        rows[2] = FQ.to_limbs(FQ.to_mont(acc[2]))
+        return jnp.asarray(rows)
 
     out, c = handle
     both = np.asarray(out)  # ONE host pull for the whole result

@@ -25,17 +25,11 @@ Conventions shared with the reference:
 Documented simplifications (each vs the reference's full pipeline):
   * ALU selectors are free private wires of the ALU placement instead of
     routed through a static buffer (`arithmeticManager.ts:189`);
-  * in-code constants (PUSH immediates, CODESIZE/PC/MSIZE/GAS) bind lazily:
-    the first time one is consumed by a placement it is ingested through
-    bufferPrvIn and copy-constrained from there — the reference instead
-    routes every PUSH through a tracked *static* buffer
-    (`instructionHandler.ts:370`), which additionally pins the value to the
-    code itself; here the binding makes the copy web well-formed but the
-    constant's value is still prover-supplied (same class of relaxation as
-    the keccak/storage re-entries below);
-  * KECCAK256 runs natively for EVM semantics and its result re-enters via
-    bufferPrvIn; the reference additionally binds the preimage with Poseidon
-    placements (`instructionHandler.ts:604-616`);
+  * KECCAK256 in hash_mode='keccak' runs natively and its result re-enters
+    via bufferPrvIn — a mainnet-compatibility mode; the reference's L2 EVM
+    has no keccak at all: it ALWAYS places the chained Poseidon
+    (`instructionHandler.ts:604-616`), which is this module's
+    hash_mode='poseidon';
   * storage is a flat snapshot dict; no Poseidon-IMT Merkle placement per
     SLOAD/SSTORE (`instructionHandler.ts:482-586`), and no EdDSA signature
     placement — those subcircuits are exercised by the fixture layer;
@@ -325,6 +319,7 @@ class Synthesizer:
         # buffer fill state: list of DataPt-producing slots consumed so far
         self._evm_in_vals: list[int] = []   # bufferEVMIn ins (public function)
         self._prv_in_vals: list[int] = []   # bufferPrvIn ins (private)
+        self._static_cache: dict[int, DataPt] = {}  # value -> EVMIn DataPt
         self._block_vals: list[int] = []    # bufferBlockIn ins
         self._pub_out_pts: list[DataPt] = []  # words returned publicly
 
@@ -349,14 +344,27 @@ class Synthesizer:
         """Copy-constrain an operand's limbs to their producer.
 
         Untraced constants (PUSH immediates etc.) bind lazily on first
-        consumption: ingested once through bufferPrvIn so every placement
-        input participates in the copy web (ADVICE r03: unbound ALU inputs).
-        DataPt is shared by reference through DUP/SWAP, so the binding
-        sticks for later consumers of the same stack value."""
+        consumption through the PUBLIC bufferEVMIn — the statement then
+        pins the constant's value, exactly like the reference's
+        loadArbitraryStatic routing every PUSH/static word into EVM_IN
+        with a per-value cache (`handlers/bufferManager.ts:78-103`,
+        `instructionHandler.ts:370`).  DataPt is shared by reference
+        through DUP/SWAP, so the binding sticks for later consumers."""
         if pt.src is None:
-            pt.src = self._load_word("prv", pt.value, "const-bind").src
+            pt.src = self._load_static(pt.value).src
         self._link(pt.src[0], lo_cell)
         self._link(pt.src[1], hi_cell)
+
+    def _load_static(self, value: int, note: str = "static") -> DataPt:
+        """In-code/static constant -> public bufferEVMIn slot, cached per
+        value so repeated constants share one slot pair (the reference's
+        cachedEVMIn, `bufferManager.ts:85-88`)."""
+        cached = self._static_cache.get(value)
+        if cached is not None:
+            return cached
+        pt = self._load_word("evm", value, note)
+        self._static_cache[value] = pt
+        return pt
 
     # ---- buffers --------------------------------------------------------
 
@@ -588,9 +596,11 @@ class Synthesizer:
             return int.from_bytes(d + b"\x00" * (32 - len(d)), "big")
 
         def load_env_word(value: int, note: str) -> DataPt:
-            """Transaction-context words are public function instance at the
-            top frame; inner-frame context is internal -> private buffer."""
-            return self._load_word("evm" if top else "prv", value, note)
+            """Transaction/frame-context words are public function instance
+            (bufferEVMIn) at every depth, as in the reference's static-input
+            routing (`instructionHandler.ts:681,1042`); the per-value cache
+            dedups repeats across frames."""
+            return self._load_static(value, note)
 
         pc = 0
         while pc < len(code):
