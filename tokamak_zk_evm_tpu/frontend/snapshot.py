@@ -16,14 +16,12 @@ secure-trie walker replace `tokamak-l2js`'s
 `createTokamakL2StateManagerFromStateSnapshot` — and feeds
 `Synthesizer.run_tx` (frontend/synthesizer.py).
 
-Documented simplifications:
-  * the sender address derives as the low 160 bits of Poseidon255(x, y)
-    over the decompressed (even-x) jubjub public key — see
-    `sender_address_from_pubkey`, matched against the shipped
-    L2StateChannel fixture;
-  * the EdDSA transaction signature is not verified and no EdDsaVerify
-    placement is emitted (the shipped subcircuit is exercised by the
-    fixture layer instead).
+The sender address derives as the low 160 bits of Poseidon255(x, y) over
+the decompressed jubjub public key (`sender_address_from_pubkey`, matched
+against the shipped L2StateChannel fixture), and the transaction's EdDSA
+signature is verified in-circuit: `build_auth` feeds the synthesizer's
+sender-auth chain (DecToBit + JubjubExpBatch + EdDsaVerify placements),
+from which ORIGIN/CALLER derive.
 """
 
 from __future__ import annotations
@@ -262,13 +260,14 @@ def decompress_jubjub(pubkey: bytes) -> tuple[int, int]:
 
 def sender_address_from_pubkey(pubkey: bytes, pose2) -> int:
     """tokamak-l2js `fromEdwardsToAddress`: decompress the jubjub point and
-    take the low 160 bits of Poseidon255(x, y) with the EVEN-x root
-    (verified against the shipped L2StateChannel fixture: the resulting
+    take the low 160 bits of Poseidon255(x, y) — the same derivation the
+    synthesizer's EdDSA chain performs in-circuit
+    (`instructionHandler.ts:473-475`: AND(Poseidon(pubkey), ADDRESS_MASK)).
+    Verified against the shipped L2StateChannel fixture: the resulting
     address's balance-slot key Poseidon255(addr, 0) is exactly the
-    snapshot's first storage key)."""
+    snapshot's first storage key, and the shipped signature verifies
+    against this exact (x, y)."""
     x, y = decompress_jubjub(pubkey)
-    if x & 1:
-        x = _JJ_P - x
     return pose2(x, y) & ((1 << 160) - 1)
 
 
@@ -315,15 +314,44 @@ def build_env(inp: SnapshotInput, pose2) -> TxEnv:
     )
 
 
+def build_auth(inp: SnapshotInput):
+    """EdDSA sender-auth inputs from transaction.json: A/R decompressed from
+    `senderPubKey`/`r`, scalar from `s`, and the 32 challenge message words
+    [nonce, to, selector, inputs 0..28] (`bufferManager.ts:190-208`;
+    FUNCTION_INPUT_LENGTH=29).  The shipped fixtures' signatures verify
+    under sG == R + e*A with e = chained-Poseidon(R, A, msg)."""
+    from .synthesizer import EdDsaAuth
+
+    tx = inp.transaction
+    data = _hb(tx.get("data", "0x"))
+    nonce = tx.get("nonce", 0)
+    if isinstance(nonce, str):
+        nonce = _hx(nonce)
+    inputs = []
+    for i in range(29):
+        w = data[4 + 32 * i:4 + 32 * i + 32]
+        inputs.append(int.from_bytes(w + b"\x00" * (32 - len(w)), "big"))
+    return EdDsaAuth(
+        pubkey=decompress_jubjub(_hb(tx["senderPubKey"])),
+        randomizer=decompress_jubjub(_hb(tx["r"])),
+        s=_hx(tx["s"]),
+        msg_words=[nonce, _hx(tx["to"]),
+                   int.from_bytes(data[:4], "big")] + inputs,
+    )
+
+
 def synthesize_from_snapshot(directory: str, library_dir: str,
                              s_max: int = 256, max_steps: int = 2_000_000):
     """End-to-end `synthesizeFromSnapshotInput` equivalent: parse the
-    4-file input contract, build the world state, replay the transaction."""
+    4-file input contract, build the world state, replay the transaction
+    with EdDSA sender auth when the transaction carries a signature."""
     inp = load_snapshot_input(directory)
     pose2 = poseidon2_fn(library_dir)
     world = build_world(
         inp, lambda k32: pose2(int.from_bytes(k32, "big"), 0)
         .to_bytes(32, "big"))
     env = build_env(inp, pose2)
+    tx = inp.transaction
+    auth = build_auth(inp) if ("r" in tx and "s" in tx) else None
     syn = Synthesizer(library_dir, s_max=s_max, hash_mode="poseidon")
-    return syn.run_tx(env, world, max_steps=max_steps)
+    return syn.run_tx(env, world, max_steps=max_steps, auth=auth)

@@ -144,9 +144,32 @@ class SubcircuitCalculators:
     def __init__(self, library_dir: str):
         self.wasm_dir = os.path.join(library_dir, "wasm")
         self._calcs: dict[int, WitnessCalculator] = {}
+        self.library_dir = library_dir
+        # compiled-R1CS fast path (frontend/r1cs_eval.py): ~10 ms/witness
+        # vs ~2.5 s through the WASM translator; None = not yet tried,
+        # False = uncompilable (WASM fallback)
+        self._compiled: dict[int, object] = {}
+        self._lib_cache = None
 
     def available(self) -> bool:
         return os.path.isdir(self.wasm_dir)
+
+    def _compiled_for(self, subcircuit_id: int):
+        ce = self._compiled.get(subcircuit_id)
+        if ce is None:
+            from ..io.artifacts import load_library
+            from .r1cs_eval import UncompilableR1CS, compile_subcircuit
+
+            if self._lib_cache is None:
+                self._lib_cache = load_library(self.library_dir)
+            _, infos, r1cs = self._lib_cache
+            info = next(i for i in infos if i.id == subcircuit_id)
+            try:
+                ce = compile_subcircuit(r1cs[subcircuit_id], info)
+            except UncompilableR1CS:
+                ce = False
+            self._compiled[subcircuit_id] = ce
+        return ce
 
     def get(self, subcircuit_id: int) -> WitnessCalculator:
         c = self._calcs.get(subcircuit_id)
@@ -160,5 +183,32 @@ class SubcircuitCalculators:
         return c
 
     def witness(self, subcircuit_id: int, in_values: list[int]) -> list[int]:
-        """Witness for one placement: `{in: values}` like the reference."""
+        """Witness for one placement: `{in: values}` like the reference —
+        via the compiled-R1CS evaluator when the subcircuit compiles
+        (bit-exact; cross-checked in tests/test_r1cs_eval.py), else the
+        WASM calculator."""
+        ce = self._compiled_for(subcircuit_id)
+        if ce is not False:
+            from .r1cs_eval import UncompilableR1CS
+
+            try:
+                return ce.evaluate(in_values)
+            except UncompilableR1CS:
+                pass
         return self.get(subcircuit_id).calculate_witness({"in": in_values})
+
+
+def poseidon2_from_calcs(calcs: "SubcircuitCalculators", pos_info):
+    """Poseidon255(a, b) via the shipped Poseidon calculator (selector=1 =
+    chain length 1, `Poseidon_circuit.circom`) — the host hash used for the
+    storage Merkle trees (frontend/merkle.py)."""
+    L128 = (1 << 128) - 1
+
+    def pose2(a: int, b: int) -> int:
+        ins = [1, a & L128, a >> 128, b & L128, b >> 128]
+        ins += [0] * (pos_info.In_idx[1] - len(ins))
+        w = calcs.witness(pos_info.id, ins)
+        o0 = pos_info.Out_idx[0]
+        return w[o0] | (w[o0 + 1] << 128)
+
+    return pose2
