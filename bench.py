@@ -56,19 +56,26 @@ WARM_MARKER = os.path.join(_REPO, ".cache", "full_warm")
 
 
 def code_state_digest() -> str:
-    """Digest of the compute-path sources: if these changed since the warm
-    marker was written, the compile cache is cold for the full rung and the
-    ladder must fall back to ascending order."""
+    """Digest of the COMPUTE-PATH sources only: the set of modules whose
+    edits change compiled XLA executables.  Frontend/synthesizer/test edits
+    do not invalidate the warm marker — the full rung's cached executables
+    stay valid across them."""
     h = hashlib.sha256()
-    roots = [os.path.join(_REPO, "tokamak_zk_evm_tpu")]
+    pkg = os.path.join(_REPO, "tokamak_zk_evm_tpu")
+    roots = [os.path.join(pkg, d) for d in
+             ("ops", "backend", "parallel", "models", "utils")]
+    files = [os.path.join(pkg, "fields.py")]
     for root in roots:
-        for dirpath, _, files in sorted(os.walk(root)):
-            for f in sorted(files):
-                if f.endswith(".py"):
-                    p = os.path.join(dirpath, f)
-                    h.update(p.encode())
-                    with open(p, "rb") as fh:
-                        h.update(fh.read())
+        for dirpath, _, fs in sorted(os.walk(root)):
+            files += [os.path.join(dirpath, f) for f in sorted(fs)
+                      if f.endswith(".py")]
+    for p in files:
+        h.update(p.encode())
+        try:
+            with open(p, "rb") as fh:
+                h.update(fh.read())
+        except OSError:
+            pass
     return h.hexdigest()[:16]
 
 
