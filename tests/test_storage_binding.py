@@ -179,3 +179,55 @@ def test_keccak_mode_binds_preimage_commitment():
     commit = pose2(0x11, 0)
     outs = res.instance.a_pub_user[:res.params.l_user_out]
     assert (commit & ((1 << 128) - 1)) in outs
+
+
+@pytest.mark.slow
+def test_prove_verify_bound_synthesis():
+    """Full prove+verify of a synthesis carrying the new statement
+    bindings: nonzero bufferPubIn (INI_MERKLE_ROOT + EDDSA_SIGNATURE),
+    VerifyMerkleProof chains, and the EdDSA sender-auth placements — the
+    canonical-column instance binding must hold with a nonzero public
+    user-input region."""
+    import numpy as np
+
+    from tokamak_zk_evm_tpu.frontend.snapshot import (
+        build_auth, load_snapshot_input, poseidon2_fn,
+        sender_address_from_pubkey, _hb)
+    from tokamak_zk_evm_tpu.models.preprocess import preprocess
+    from tokamak_zk_evm_tpu.models.protocol import Mixer
+    from tokamak_zk_evm_tpu.models.prover import Prover
+    from tokamak_zk_evm_tpu.models.setup import Tau, generate_sigma
+    from tokamak_zk_evm_tpu.models.verifier import Verifier
+
+    ex = ("/root/reference/packages/frontend/synthesizer/examples/"
+          "L2StateChannel")
+    if not os.path.isdir(ex):
+        pytest.skip("no shipped example")
+    inp = load_snapshot_input(ex)
+    auth = build_auth(inp)
+    pose2 = poseidon2_fn(REFERENCE_LIBRARY)
+    caller = sender_address_from_pubkey(
+        _hb(inp.transaction["senderPubKey"]), pose2)
+    # one SLOAD + one SSTORE on a tiny contract, sender EdDSA-verified
+    code = asm(("PUSH1", 5), ("SLOAD",), ("PUSH1", 5), ("SSTORE",),
+               ("STOP",))
+    syn = _syn(s_max=64)
+    env = TxEnv(caller=caller, address=CONTRACT)
+    world = {CONTRACT: AccountState(code=code, storage={5: 42})}
+    res = syn.run_tx(env, world, max_steps=1000, auth=auth)
+    assert not res.reverted
+    names = {syn.by_name[n].id for n in ("VerifyMerkleProof", "EdDsaVerify")}
+    assert names <= {p.subcircuit_id for p in res.placements}
+    # nonzero public user-input region
+    pubin = res.instance.a_pub_user[res.params.l_user_out:]
+    assert any(v != 0 for v in pubin)
+
+    sigma = generate_sigma(res.params, Tau.fixed(), res.library, res.infos)
+    pre = preprocess(sigma, res.permutation, res.instance, res.params)
+    prover = Prover(res.params, sigma, res.library, res.infos,
+                    res.placements, res.permutation, res.instance,
+                    mixer=Mixer.random(np.random.default_rng(3)))
+    proof, _ = prover.prove()
+    v = Verifier(res.params, sigma, pre, res.instance, proof,
+                 rng=np.random.default_rng(8))
+    assert v.verify_snark()
