@@ -1622,12 +1622,13 @@ _MSM_PINNED = {
     1 << 16: (10, 26),
     1 << 17: (10, 26),
     1 << 18: (13, 20),
-    1 << 20: (15, 6),
-    1 << 22: (16, 2),
-    # best-guess entries (not prover-emitted by the bench shapes, not yet
-    # hardware-validated): keep away from the observed-bad region
     1 << 19: (10, 13),
-    1 << 21: (16, 4),
+    1 << 20: (15, 6),   # sweep r05: 1.68s vs (16,4) 2.24 / (16,8) 3.81
+    1 << 21: (16, 4),   # sweep r05: 3.06s vs (16,2) 3.30; runs in the
+                        # full-shape prove (Q_AX/Q_AY) — hardware-clean
+    1 << 22: (16, 4),   # sweep r05: 4.96s vs (16,2) 5.28
+    # 2^23 is not prover-emitted at the bench shapes (encode max = 2^22);
+    # best-guess config kept as a fallback away from the observed-bad region
     1 << 23: (16, 1),
 }
 
