@@ -20,8 +20,6 @@ reproduce, SURVEY.md §7.1).
 
 from __future__ import annotations
 
-import hashlib
-
 import numpy as np
 import jax.numpy as jnp
 
@@ -80,46 +78,31 @@ def encode_poly(sigma: Sigma, poly: BiPoly, params: SetupParams):
     return None if h is None else msm_mod.msm_finish(h)
 
 
-# gathered binding rows, cached across Prover inits: proving many
-# transactions over ONE circuit reuses the same (family, indices) slice
-# every time — without this, every init after the binding-family release
-# re-gathers on host and re-uploads ~100 MB through the device link
-# (init.binding was ~5 s of the timed full-shape prove).  Keyed by the
-# family's buffer identity + an index digest; bounded FIFO.
-_GATHER_CACHE: dict = {}
-_GATHER_CACHE_MAX = 8
-
-
-def _gathered_rows(points_family, indices):
-    px, py, pinf = points_family
-    idxh = np.asarray(indices, dtype=np.int64)
-    key = (id(px), hashlib.sha1(idxh.tobytes()).hexdigest())
-    hit = _GATHER_CACHE.get(key)
-    if hit is not None:
-        return hit[1]
-    if isinstance(px, np.ndarray):
-        rows = (jnp.asarray(px[:, idxh]), jnp.asarray(py[:, idxh]),
-                jnp.asarray(pinf[idxh]))
-    else:
-        idx = jnp.asarray(idxh)
-        rows = (jnp.take(px, idx, axis=1), jnp.take(py, idx, axis=1),
-                jnp.take(pinf, idx, axis=0))
-    if len(_GATHER_CACHE) >= _GATHER_CACHE_MAX:
-        _GATHER_CACHE.pop(next(iter(_GATHER_CACHE)))
-    _GATHER_CACHE[key] = (px, rows)  # keep px alive so id() stays unique
-    return rows
-
-
 def _indexed_msm(points_family, scalars_ints, indices):
     """MSM of host scalars against gathered rows of a point family (device
     arrays, or host numpy after a binding-family release — then the gather
-    happens host-side and only the slice is uploaded, cached across
-    Prover inits)."""
+    happens host-side and only the slice is uploaded).
+
+    NOTE: caching the gathered device slices across Prover inits was tried
+    (r05) and reverted — the pinned rows (~400 MB at full shape) raise HBM
+    pressure enough to OOM the post-prove working set, and the warm-up's
+    device-keyed entries never hit after the binding-family release swaps
+    the family to host numpy."""
     if not scalars_ints:
         return None
+    px, py, pinf = points_family
     s = msm_mod.scalars_from_ints(scalars_ints)
-    gx, gy, gi = _gathered_rows(points_family, indices)
-    return msm_mod.msm(s, gx, gy, gi)
+    if isinstance(px, np.ndarray):
+        idxh = np.asarray(indices, dtype=np.int64)
+        return msm_mod.msm(
+            s, jnp.asarray(px[:, idxh]), jnp.asarray(py[:, idxh]),
+            jnp.asarray(pinf[idxh]),
+        )
+    idx = jnp.asarray(np.asarray(indices, dtype=np.int64))
+    return msm_mod.msm(
+        s, jnp.take(px, idx, axis=1), jnp.take(py, idx, axis=1),
+        jnp.take(pinf, idx, axis=0),
+    )
 
 
 # ---------------------------------------------------------------------------
