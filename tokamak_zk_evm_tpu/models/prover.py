@@ -126,20 +126,43 @@ def encode_O_pub_free(sigma, placements, infos, params):
         else:
             continue
         for j in range(start, start + cnt):
-            scalars.append(pl.variables[j] % R_MOD)
-            idxs.append(info.flattenMap[j])
+            v = pl.variables[j]
+            if v:
+                scalars.append(v % R_MOD)
+                idxs.append(info.flattenMap[j])
     return _indexed_msm(sigma.sigma_1.gamma_inv_o_inst, scalars, idxs)
 
 
+_STMT_WIRES_CACHE: dict = {}
+
+
+def _stmt_wires(info, lo, hi):
+    """Per-subcircuit (local wire indices, target rows) for flattenMap
+    entries in [lo, hi) — structure only, cached per (subcircuit, region)."""
+    key = (id(info), lo, hi)
+    hit = _STMT_WIRES_CACHE.get(key)
+    if hit is None:
+        fm = np.asarray(info.flattenMap, dtype=np.int64)
+        sel = np.nonzero((fm >= lo) & (fm < hi))[0]
+        hit = _STMT_WIRES_CACHE[key] = (info, sel, fm[sel] - lo)
+    return hit[1], hit[2]
+
+
 def _encode_statement(points_family, lo, hi, offset_cols, placements, infos, s_max):
+    """Zero scalars are dropped before packing/dispatch: an MSM term with
+    k=0 contributes nothing, and buffer placements are mostly zero-padded —
+    at the full shape this cuts the binding MSMs' point counts (and the
+    ~1M-wire Python packing loop) substantially."""
     scalars, idxs = [], []
     for i, pl in enumerate(placements):
         info = infos[pl.subcircuit_id]
-        for j in range(info.Nwires):
-            g = info.flattenMap[j]
-            if lo <= g < hi:
-                scalars.append(pl.variables[j] % R_MOD)
-                idxs.append((g - lo) * s_max + i)
+        sel, rows = _stmt_wires(info, lo, hi)
+        var = pl.variables
+        for j, g in zip(sel.tolist(), rows.tolist()):
+            v = var[j]
+            if v:
+                scalars.append(v % R_MOD)
+                idxs.append(g * s_max + i)
     return _indexed_msm(points_family, scalars, idxs)
 
 
